@@ -1,0 +1,226 @@
+"""Offline PyTorch -> JAX checkpoint converter.
+
+The reference's depth checkpoints are **pickled full nn.Modules** inside a
+{epoch, best_result, model} dict (reference main.py:49-57); its ImageNet
+MobileNet checkpoint is a state_dict with DataParallel 'module.' prefixes
+(reference models.py:428-436).  This tool:
+
+* unpickles either format WITHOUT the reference codebase, by installing
+  stub classes for the pickled module paths,
+* transposes every weight NCHW-world -> NHWC-world
+  (OIHW/(C,1,kh,kw)/(Cin,Cout,kh,kw) -> HWIO/HWOI: one permutation
+  (2, 3, 1, 0) covers all three),
+* infers per-layer channel lists from weight shapes, so the NetAdapt-
+  pruned checkpoint (whose architecture exists only inside the pickle,
+  SURVEY.md §2) round-trips into an explicit ModelConfig.
+
+torch is imported lazily: it is a converter-time-only dependency.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from fastdepth_tpu.config import ModelConfig
+
+_TO_NHWC = (2, 3, 1, 0)  # OIHW->HWIO; (C,1,kh,kw)->(kh,kw,1,C); convT->HWOI
+
+
+def _install_unpickle_stubs():
+    """Register stub modules/classes so reference pickles resolve.
+
+    nn.Module unpickling restores __dict__ directly (no __init__ call),
+    so empty subclasses suffice.
+    """
+    import torch.nn as nn
+
+    def stub_module(name):
+        mod = sys.modules.get(name)
+        if mod is None:
+            mod = types.ModuleType(name)
+            sys.modules[name] = mod
+        return mod
+
+    models_mod = stub_module("models")
+    for cls in [
+        "MobileNetSkipAdd", "MobileNetSkipConcat", "MobileNet", "ResNet",
+        "ResNetSkipAdd", "ResNetSkipConcat", "Decoder", "DeConv", "UpConv",
+        "UpProj", "NNConv", "BLConv", "ShuffleConv", "Unpool", "Identity",
+        "upproj",
+    ]:
+        if not hasattr(models_mod, cls):
+            setattr(models_mod, cls, type(cls, (nn.Module,), {}))
+
+    imagenet_mod = stub_module("imagenet")
+    mobilenet_mod = stub_module("imagenet.mobilenet")
+    imagenet_mod.mobilenet = mobilenet_mod
+    if not hasattr(mobilenet_mod, "MobileNet"):
+        mobilenet_mod.MobileNet = type("MobileNet", (nn.Module,), {})
+
+    metrics_mod = stub_module("metrics")
+    if not hasattr(metrics_mod, "Result"):
+        metrics_mod.Result = type("Result", (object,), {})
+    if not hasattr(metrics_mod, "AverageMeter"):
+        metrics_mod.AverageMeter = type("AverageMeter", (object,), {})
+
+
+def load_torch_checkpoint(path: str):
+    """Returns (state_dict {name: np.ndarray}, class_name, epoch, best_result).
+
+    Handles both the dict envelope and a bare pickled module
+    (reference main.py:49-57)."""
+    import torch
+
+    _install_unpickle_stubs()
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    epoch, best_result = 0, None
+    if isinstance(ckpt, dict) and "model" in ckpt:
+        epoch = ckpt.get("epoch", 0)
+        best_result = ckpt.get("best_result")
+        model = ckpt["model"]
+    elif isinstance(ckpt, dict) and "state_dict" in ckpt:
+        # ImageNet-style state_dict checkpoint with DataParallel prefix
+        sd = {strip_module_prefix(k): v for k, v in ckpt["state_dict"].items()}
+        arrays = {k: v.detach().numpy() for k, v in sd.items()}
+        return arrays, "state_dict", ckpt.get("epoch", 0), None
+    else:
+        model = ckpt
+    sd = model.state_dict()
+    arrays = {k: np.asarray(v.detach().numpy()) for k, v in sd.items()}
+    return arrays, type(model).__name__, epoch, best_result
+
+
+def strip_module_prefix(name: str) -> str:
+    """Remove a DataParallel 'module.' prefix (reference models.py:434)."""
+    return name[7:] if name.startswith("module.") else name
+
+
+def _conv(sd: Dict[str, np.ndarray], prefix: str) -> Dict:
+    """A torch Conv2d (+ optional bias) -> {'w'[, 'b']} in NHWC layout."""
+    out = {"w": np.transpose(sd[f"{prefix}.weight"], _TO_NHWC)}
+    if f"{prefix}.bias" in sd:
+        out["b"] = sd[f"{prefix}.bias"]
+    return out
+
+
+def _bn(sd: Dict[str, np.ndarray], prefix: str) -> Dict:
+    return {
+        "scale": sd[f"{prefix}.weight"],
+        "bias": sd[f"{prefix}.bias"],
+        "mean": sd[f"{prefix}.running_mean"],
+        "var": sd[f"{prefix}.running_var"],
+    }
+
+
+def _conv_bn(sd, conv_prefix, bn_prefix) -> Dict:
+    d = _conv(sd, conv_prefix)
+    d["bn"] = _bn(sd, bn_prefix)
+    return d
+
+
+def convert_mobilenet_encoder(
+    sd: Dict[str, np.ndarray], prefix: str = "", seq: bool = False
+) -> Tuple[Dict, List[int]]:
+    """Encoder weights -> our tree + inferred channel list.
+
+    ``seq=True`` for 'model.{i}.{j}' naming (imagenet/mobilenet.py:40-54
+    and the plain-MobileNet depth model, models.py:441); ``seq=False`` for
+    'conv{i}.{j}' attribute naming (MobileNetSkipAdd, models.py:674-675).
+    """
+    name = (lambda i: f"{prefix}model.{i}") if seq else (lambda i: f"{prefix}conv{i}")
+    params: Dict = {"conv0": _conv_bn(sd, f"{name(0)}.0", f"{name(0)}.1")}
+    channels = [params["conv0"]["w"].shape[-1]]
+    for i in range(1, 14):
+        p = name(i)
+        params[f"conv{i}"] = {
+            "dw": _conv_bn(sd, f"{p}.0", f"{p}.1"),
+            "pw": _conv_bn(sd, f"{p}.3", f"{p}.4"),
+        }
+        channels.append(params[f"conv{i}"]["pw"]["w"].shape[-1])
+    return params, channels
+
+
+def convert_fastdepth_skip(
+    sd: Dict[str, np.ndarray], skip: str = "add"
+) -> Tuple[Dict, ModelConfig]:
+    """MobileNetSkipAdd / MobileNetSkipConcat state_dict -> (params, config).
+
+    Decoder naming (models.py:683-698): decode_conv{i} is
+    Sequential(depthwise Sequential, pointwise Sequential), so keys are
+    'decode_conv{i}.0.0.weight' (dw conv), '.0.1.*' (dw bn),
+    '.1.0.weight' (pw conv), '.1.1.*' (pw bn); decode_conv6 is a bare
+    pointwise Sequential: '.0.weight', '.1.*'.
+    """
+    enc, enc_channels = convert_mobilenet_encoder(sd, seq=False)
+    decoder: Dict = {}
+    dec_channels = []
+    for i in range(1, 6):
+        p = f"decode_conv{i}"
+        decoder[p] = {
+            "dw": _conv_bn(sd, f"{p}.0.0", f"{p}.0.1"),
+            "pw": _conv_bn(sd, f"{p}.1.0", f"{p}.1.1"),
+        }
+        dec_channels.append(decoder[p]["pw"]["w"].shape[-1])
+    decoder["decode_conv6"] = {"pw": _conv_bn(sd, "decode_conv6.0", "decode_conv6.1")}
+    cfg = ModelConfig(
+        encoder="mobilenet",
+        decoder="nnconv5dw",
+        skip=skip,
+        encoder_channels=tuple(enc_channels),
+        decoder_channels=tuple(dec_channels),
+    ).validate()
+    return {"encoder": enc, "decoder": decoder}, cfg
+
+
+def convert_imagenet_mobilenet(sd: Dict[str, np.ndarray]) -> Tuple[Dict, Dict, List[int]]:
+    """ImageNet classifier ckpt -> (encoder_params, head_params, channels)."""
+    enc, channels = convert_mobilenet_encoder(sd, seq=True)
+    head = {"fc": {"w": np.transpose(sd["fc.weight"], (1, 0)), "b": sd["fc.bias"]}}
+    return enc, head, channels
+
+
+def convert_resnet_encoder(sd: Dict[str, np.ndarray], layers: int) -> Dict:
+    """torchvision resnet state_dict -> our encoder tree."""
+    from fastdepth_tpu.models.resnet import BOTTLENECK, RESNET_LAYERS
+
+    blocks = RESNET_LAYERS[layers]
+    bottleneck = layers in BOTTLENECK
+    params: Dict = {"conv1": _conv_bn(sd, "conv1", "bn1")}
+    for s, n in enumerate(blocks, start=1):
+        stage: Dict = {}
+        for b in range(n):
+            pre = f"layer{s}.{b}"
+            blk = {
+                "conv1": _conv_bn(sd, f"{pre}.conv1", f"{pre}.bn1"),
+                "conv2": _conv_bn(sd, f"{pre}.conv2", f"{pre}.bn2"),
+            }
+            if bottleneck:
+                blk["conv3"] = _conv_bn(sd, f"{pre}.conv3", f"{pre}.bn3")
+            if f"{pre}.downsample.0.weight" in sd:
+                blk["downsample"] = _conv_bn(sd, f"{pre}.downsample.0", f"{pre}.downsample.1")
+            stage[f"block{b}"] = blk
+        params[f"layer{s}"] = stage
+    return params
+
+
+def convert_checkpoint(path: str) -> Tuple[Dict, ModelConfig, Dict]:
+    """Full conversion entry point: torch ckpt path -> (params, config, meta)."""
+    sd, class_name, epoch, best_result = load_torch_checkpoint(path)
+    meta = {"epoch": int(epoch), "source_class": class_name}
+    if best_result is not None:
+        for f in ("rmse", "mae", "delta1", "absrel", "lg10"):
+            if hasattr(best_result, f):
+                meta[f"best_{f}"] = float(getattr(best_result, f))
+    if class_name == "MobileNetSkipAdd":
+        params, cfg = convert_fastdepth_skip(sd, skip="add")
+    elif class_name == "MobileNetSkipConcat":
+        params, cfg = convert_fastdepth_skip(sd, skip="concat")
+    else:
+        raise NotImplementedError(
+            f"no converter for pickled class {class_name!r} yet"
+        )
+    return params, cfg, meta

@@ -1,0 +1,94 @@
+"""Native checkpoint save/restore.
+
+The reference release only *loads* checkpoints ({epoch, best_result,
+model} pickles, main.py:49-57); the rebuild provides the full save/resume
+cycle with best-result tracking (SURVEY.md §5 'Checkpoint / resume').
+
+Format: a single ``.npz`` holding flattened 'a/b/c' param paths plus a
+JSON sidecar entry for config/meta — dependency-free, memory-mappable,
+and framework-agnostic.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+from fastdepth_tpu.config import ModelConfig
+
+_SEP = "/"
+
+
+def flatten_tree(tree: Dict, prefix: str = "") -> Dict[str, np.ndarray]:
+    flat: Dict[str, np.ndarray] = {}
+    for k, v in tree.items():
+        key = f"{prefix}{_SEP}{k}" if prefix else k
+        if isinstance(v, dict):
+            flat.update(flatten_tree(v, key))
+        else:
+            flat[key] = np.asarray(v)
+    return flat
+
+
+def unflatten_tree(flat: Dict[str, np.ndarray]) -> Dict:
+    tree: Dict = {}
+    for key, v in flat.items():
+        node = tree
+        parts = key.split(_SEP)
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+def save_checkpoint(
+    path: str,
+    params: Dict,
+    config: ModelConfig,
+    *,
+    epoch: int = 0,
+    best_result: Optional[Dict[str, float]] = None,
+    extra: Optional[Dict[str, Any]] = None,
+) -> None:
+    flat = flatten_tree(jax_to_numpy(params))
+    meta = {
+        "config": dataclasses.asdict(config),
+        "epoch": epoch,
+        "best_result": best_result or {},
+        "extra": extra or {},
+        "format_version": 1,
+    }
+    np.savez(path, __meta__=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8), **flat)
+
+
+def load_checkpoint(path: str) -> Tuple[Dict, ModelConfig, Dict[str, Any]]:
+    with np.load(path) as data:
+        meta = json.loads(bytes(data["__meta__"]).decode())
+        flat = {k: data[k] for k in data.files if k != "__meta__"}
+    cfg_dict = meta.pop("config")
+    for key in ("encoder_channels", "decoder_channels", "output_size"):
+        if key in cfg_dict and cfg_dict[key] is not None:
+            cfg_dict[key] = tuple(cfg_dict[key])
+    config = ModelConfig(**cfg_dict)
+    return unflatten_tree(flat), config, meta
+
+
+def jax_to_numpy(tree):
+    """Device arrays -> host numpy, recursively."""
+    if isinstance(tree, dict):
+        return {k: jax_to_numpy(v) for k, v in tree.items()}
+    return np.asarray(tree)
+
+
+def numpy_to_jax(tree, dtype=None):
+    import jax.numpy as jnp
+
+    if isinstance(tree, dict):
+        return {k: numpy_to_jax(v, dtype) for k, v in tree.items()}
+    arr = jnp.asarray(tree)
+    if dtype is not None and np.issubdtype(np.asarray(tree).dtype, np.floating):
+        arr = arr.astype(dtype)
+    return arr

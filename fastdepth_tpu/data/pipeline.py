@@ -1,0 +1,133 @@
+"""Fused geometric preprocessing pipelines.
+
+Every geometric op in the NYU pipelines (reference dataloaders/nyu.py:26-59)
+is a nearest-neighbor gather or a crop, so an entire pipeline composes into
+ONE pair of (row, col) index vectors applied as a single fancy-index per
+image — replacing the reference's per-item PIL/scipy chain (its hot spot,
+SURVEY.md §3.2) with O(1) precomputation + one vectorized gather.  The
+train pipeline only breaks at the rotation, which is applied at the small
+250x333 intermediate exactly like the reference ("for computational
+efficiency", nyu.py:34).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+
+from fastdepth_tpu.data import transforms as T
+
+
+@dataclasses.dataclass(frozen=True)
+class ValPipeline:
+    """Fused val geometry: Resize(250/480) -> CenterCrop(228, 304) ->
+    Resize(224, 224) (reference nyu.py:48-59)."""
+
+    rows: np.ndarray
+    cols: np.ndarray
+    output_size: Tuple[int, int]
+
+    @classmethod
+    def create(
+        cls,
+        raw_size: Tuple[int, int] = (480, 640),
+        first_resize: float = 250.0 / 480.0,
+        crop_size: Tuple[int, int] = (228, 304),
+        output_size: Tuple[int, int] = (224, 224),
+    ) -> "ValPipeline":
+        h, w = raw_size
+        h1, w1 = T.imresize_output_size(h, w, first_resize)
+        rows1 = T.nearest_resize_indices(h, h1)
+        cols1 = T.nearest_resize_indices(w, w1)
+        th, tw = crop_size
+        i0, j0 = T.center_crop_offsets(h1, w1, th, tw)
+        rows2 = T.nearest_resize_indices(th, output_size[0])
+        cols2 = T.nearest_resize_indices(tw, output_size[1])
+        return cls(rows=rows1[i0 + rows2], cols=cols1[j0 + cols2], output_size=output_size)
+
+    def __call__(self, img: np.ndarray) -> np.ndarray:
+        """Apply to one HW or HWC image (any dtype; value-preserving)."""
+        return img[self.rows][:, self.cols]
+
+    def apply_batch(self, imgs: np.ndarray) -> np.ndarray:
+        """Apply to an (N, H, W[, C]) stack in one gather."""
+        return imgs[:, self.rows][:, :, self.cols]
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainSample:
+    """Random augmentation parameters for one train item
+    (reference nyu.py:26-31): scale s ~ U[1, 1.5], rotation ~ U[-5, 5] deg,
+    hflip ~ Bernoulli(0.5)."""
+
+    scale: float
+    angle: float
+    do_flip: bool
+
+    @classmethod
+    def draw(cls, rng: np.random.RandomState) -> "TrainSample":
+        return cls(
+            scale=float(rng.uniform(1.0, 1.5)),
+            angle=float(rng.uniform(-5.0, 5.0)),
+            do_flip=bool(rng.uniform(0.0, 1.0) < 0.5),
+        )
+
+
+class TrainPipeline:
+    """Train geometry: Resize(250/480) -> Rotate -> Resize(s) ->
+    CenterCrop(228, 304) -> HFlip -> Resize(224) (reference nyu.py:33-41),
+    with everything after the rotation fused into one gather."""
+
+    def __init__(
+        self,
+        raw_size: Tuple[int, int] = (480, 640),
+        first_resize: float = 250.0 / 480.0,
+        crop_size: Tuple[int, int] = (228, 304),
+        output_size: Tuple[int, int] = (224, 224),
+    ):
+        h, w = raw_size
+        self.h1, self.w1 = T.imresize_output_size(h, w, first_resize)
+        self.rows1 = T.nearest_resize_indices(h, self.h1)
+        self.cols1 = T.nearest_resize_indices(w, self.w1)
+        self.crop_size = crop_size
+        self.output_size = output_size
+
+    def post_rotate_indices(self, s: TrainSample) -> Tuple[np.ndarray, np.ndarray]:
+        hs, ws = T.imresize_output_size(self.h1, self.w1, s.scale)
+        rows_s = T.nearest_resize_indices(self.h1, hs)
+        cols_s = T.nearest_resize_indices(self.w1, ws)
+        th, tw = self.crop_size
+        i0, j0 = T.center_crop_offsets(hs, ws, th, tw)
+        rows2 = T.nearest_resize_indices(th, self.output_size[0])
+        cols2 = T.nearest_resize_indices(tw, self.output_size[1])
+        if s.do_flip:
+            # flip the 304-wide crop before the final resize
+            # (np.fliplr at nyu.py:39 via transforms.py:485-510)
+            cols2 = (tw - 1) - cols2
+        return rows_s[i0 + rows2], cols_s[j0 + cols2]
+
+    def __call__(
+        self,
+        rgb: np.ndarray,
+        depth: np.ndarray,
+        sample: TrainSample,
+        color_jitter: Optional[T.ColorJitter] = None,
+        rng: Optional[np.random.RandomState] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (rgb_f32 in [0,1] HWC, depth_f32 HW) at output_size."""
+        depth = depth / sample.scale  # nyu.py:28
+        rgb_small = rgb[self.rows1][:, self.cols1]
+        depth_small = depth[self.rows1][:, self.cols1]
+        rgb_rot = T.rotate(rgb_small, sample.angle)
+        depth_rot = T.rotate(depth_small, sample.angle)
+        rows, cols = self.post_rotate_indices(sample)
+        rgb_out = rgb_rot[rows][:, cols]
+        depth_out = depth_rot[rows][:, cols]
+        if color_jitter is not None:
+            rgb_out = color_jitter(np.ascontiguousarray(rgb_out), rng)
+        return (
+            np.asarray(rgb_out, dtype=np.float32) / 255.0,
+            np.asarray(depth_out, dtype=np.float32),
+        )

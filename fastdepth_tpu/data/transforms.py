@@ -1,0 +1,154 @@
+"""Host-side preprocessing primitives with exact reference semantics.
+
+The reference pipeline (reference dataloaders/transforms.py) leans on the
+long-deprecated ``scipy.misc.imresize`` (removed in modern scipy) plus
+PIL and ``scipy.ndimage``.  Bit-for-bit metric parity requires replaying
+its quirks exactly (SURVEY.md §7 'Hard parts'):
+
+* ``imresize`` converts through a PIL image: float sizes mean
+  ``(int(w*f), int(h*f))`` (truncation), 2-D float arrays go through
+  mode 'F', and the default interpolation is **nearest**
+  (transforms.py:311-341),
+* PIL NEAREST maps  dst -> src = floor((dst + 0.5) * in/out),
+* CenterCrop offsets use Python banker's rounding (transforms.py:370-374),
+* Rotate is ``scipy.ndimage.rotate(order=0, reshape=False,
+  prefilter=False)`` (transforms.py:288-308).
+
+Instead of running these per item through PIL (reference hot spot,
+SURVEY.md §3.2), every nearest-resize/crop here is expressed as a pair of
+**gather index vectors**, so whole pipelines compose into a single fancy-
+index per image (see pipeline.py) — the TPU-host analogue of kernel
+fusion.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def nearest_resize_indices(in_size: int, out_size: int) -> np.ndarray:
+    """PIL NEAREST source index for each destination pixel."""
+    idx = np.floor((np.arange(out_size) + 0.5) * (in_size / out_size)).astype(np.int64)
+    return np.clip(idx, 0, in_size - 1)
+
+
+def imresize_output_size(h: int, w: int, size) -> Tuple[int, int]:
+    """Replicates scipy.misc.imresize size handling: int = percent,
+    float = fraction (PIL size tuple truncates), tuple = (h, w)."""
+    if isinstance(size, (tuple, list)):
+        return int(size[0]), int(size[1])
+    if isinstance(size, (int, np.integer)):
+        f = size / 100.0
+    else:
+        f = float(size)
+    # scipy computes the PIL (w, h) tuple as (array(im.size) * f).astype(int)
+    return int(h * f), int(w * f)
+
+
+def resize_nearest(img: np.ndarray, size) -> np.ndarray:
+    """imresize(img, size, 'nearest'[, 'F']) equivalent for 2-D/3-D arrays.
+
+    NOTE: for uint8 inputs scipy returns uint8; for 2-D float ('F' mode)
+    it returns float32 — nearest never changes values, only gathers, so
+    dtype is preserved here (float64 depth stays float64; the pipeline
+    casts once at the end like ToTensor's .float(), transforms.py:195-224).
+    """
+    h, w = img.shape[:2]
+    th, tw = imresize_output_size(h, w, size)
+    rows = nearest_resize_indices(h, th)
+    cols = nearest_resize_indices(w, tw)
+    return img[rows][:, cols]
+
+
+def center_crop_offsets(h: int, w: int, th: int, tw: int) -> Tuple[int, int]:
+    """Banker's-rounded center offsets (reference transforms.py:370-374)."""
+    return int(round((h - th) / 2.0)), int(round((w - tw) / 2.0))
+
+
+def center_crop(img: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
+    th, tw = size
+    i, j = center_crop_offsets(img.shape[0], img.shape[1], th, tw)
+    return img[i : i + th, j : j + tw]
+
+
+def horizontal_flip(img: np.ndarray, do_flip: bool) -> np.ndarray:
+    return np.fliplr(img) if do_flip else img
+
+
+def rotate(img: np.ndarray, angle: float) -> np.ndarray:
+    """Nearest-neighbor rotation, no reshape (reference transforms.py:306-308)."""
+    from scipy import ndimage
+
+    return ndimage.rotate(img, angle, reshape=False, prefilter=False, order=0)
+
+
+# ---------------------------------------------------------------------------
+# Color jitter (train-time only; reference transforms.py:513-578 applies
+# PIL ImageEnhance ops in random order with random factors).
+
+
+def adjust_brightness(img: np.ndarray, factor: float) -> np.ndarray:
+    from PIL import Image, ImageEnhance
+
+    return np.array(ImageEnhance.Brightness(Image.fromarray(img)).enhance(factor))
+
+
+def adjust_contrast(img: np.ndarray, factor: float) -> np.ndarray:
+    from PIL import Image, ImageEnhance
+
+    return np.array(ImageEnhance.Contrast(Image.fromarray(img)).enhance(factor))
+
+
+def adjust_saturation(img: np.ndarray, factor: float) -> np.ndarray:
+    from PIL import Image, ImageEnhance
+
+    return np.array(ImageEnhance.Color(Image.fromarray(img)).enhance(factor))
+
+
+def adjust_hue(img: np.ndarray, factor: float) -> np.ndarray:
+    """Cyclic hue shift through HSV (reference transforms.py:95-137)."""
+    from PIL import Image
+
+    if not (-0.5 <= factor <= 0.5):
+        raise ValueError(f"hue factor {factor} not in [-0.5, 0.5]")
+    pil = Image.fromarray(img)
+    h, s, v = pil.convert("HSV").split()
+    np_h = np.array(h, dtype=np.uint8)
+    with np.errstate(over="ignore"):
+        np_h += np.uint8(factor * 255)
+    h = Image.fromarray(np_h, "L")
+    return np.array(Image.merge("HSV", (h, s, v)).convert("RGB"))
+
+
+class ColorJitter:
+    """Random brightness/contrast/saturation/hue in random order
+    (reference transforms.py:513-578; NYU uses (0.4, 0.4, 0.4),
+    dataloader.py:46).  Takes an explicit RandomState for determinism."""
+
+    def __init__(self, brightness=0.0, contrast=0.0, saturation=0.0, hue=0.0):
+        self.brightness = brightness
+        self.contrast = contrast
+        self.saturation = saturation
+        self.hue = hue
+
+    def __call__(self, img: np.ndarray, rng: Optional[np.random.RandomState] = None) -> np.ndarray:
+        rng = rng or np.random.random.__self__  # global state fallback
+        ops = []
+        if self.brightness > 0:
+            f = rng.uniform(max(0, 1 - self.brightness), 1 + self.brightness)
+            ops.append(lambda im, f=f: adjust_brightness(im, f))
+        if self.contrast > 0:
+            f = rng.uniform(max(0, 1 - self.contrast), 1 + self.contrast)
+            ops.append(lambda im, f=f: adjust_contrast(im, f))
+        if self.saturation > 0:
+            f = rng.uniform(max(0, 1 - self.saturation), 1 + self.saturation)
+            ops.append(lambda im, f=f: adjust_saturation(im, f))
+        if self.hue > 0:
+            f = rng.uniform(-self.hue, self.hue)
+            ops.append(lambda im, f=f: adjust_hue(im, f))
+        rng.shuffle(ops)
+        for op in ops:
+            img = op(img)
+        return img

@@ -1,0 +1,101 @@
+"""Metric parity: our batched on-device metrics vs a direct torch
+transcription of the reference formulas (reference metrics.py:31-55),
+including the union-mask and millimeter-scaling edge cases."""
+
+import math
+
+import numpy as np
+import torch
+
+import jax.numpy as jnp
+
+from fastdepth_tpu import metrics as M
+
+
+def torch_reference_metrics(output, target):
+    """Direct transcription of Result.evaluate (reference metrics.py:31-55)."""
+    output = torch.as_tensor(output)
+    target = torch.as_tensor(target)
+    valid_mask = ((target > 0) + (output > 0)) > 0
+    output = 1e3 * output[valid_mask]
+    target = 1e3 * target[valid_mask]
+    abs_diff = (output - target).abs()
+    mse = float((abs_diff ** 2).mean())
+    res = {
+        "mse": mse,
+        "rmse": math.sqrt(mse),
+        "mae": float(abs_diff.mean()),
+        "lg10": float((torch.log10(output) - torch.log10(target)).abs().mean()),
+        "absrel": float((abs_diff / target).mean()),
+    }
+    max_ratio = torch.max(output / target, target / output)
+    for k in (1, 2, 3):
+        res[f"delta{k}"] = float((max_ratio < 1.25 ** k).float().mean())
+    inv_diff = (1.0 / output - 1.0 / target).abs()
+    res["irmse"] = math.sqrt(float((inv_diff ** 2).mean()))
+    res["imae"] = float(inv_diff.mean())
+    return res
+
+
+def test_evaluate_matches_reference_formulas(rng):
+    out = np.abs(rng.randn(5, 7).astype(np.float32)) + 0.5
+    tgt = np.abs(rng.randn(5, 7).astype(np.float32)) + 0.5
+    ref = torch_reference_metrics(out, tgt)
+    got = M.evaluate(out, tgt).as_dict()
+    for k, v in ref.items():
+        np.testing.assert_allclose(got[k], v, rtol=2e-4, err_msg=k)
+
+
+def test_union_mask_semantics(rng):
+    """Pixels where target == 0 but output > 0 ARE included (the
+    reference's OR-mask, metrics.py:32); pixels where both == 0 are not."""
+    out = np.array([[1.0, 0.0], [2.0, 0.0]], np.float32)
+    tgt = np.array([[1.0, 0.0], [0.0, 3.0]], np.float32)
+    ref = torch_reference_metrics(out, tgt)
+    got = M.evaluate(out, tgt).as_dict()
+    for k in ("rmse", "mae", "delta1", "absrel"):
+        np.testing.assert_allclose(got[k], ref[k], rtol=1e-5, err_msg=k)
+    # 3 valid pixels: (1,1), (2,0), (0,3) -> mae = mean(|0|,|2000|,|3000|)
+    np.testing.assert_allclose(got["mae"], (0 + 2000 + 3000) / 3, rtol=1e-6)
+
+
+def test_batch_equals_per_image_loop(rng):
+    out = np.abs(rng.randn(4, 6, 6, 1).astype(np.float32)) + 0.1
+    tgt = np.abs(rng.randn(4, 6, 6, 1).astype(np.float32)) + 0.1
+    batched = {k: np.asarray(v) for k, v in M.evaluate_batch(jnp.asarray(out), jnp.asarray(tgt)).items()}
+    for i in range(4):
+        single = M.evaluate(out[i, ..., 0], tgt[i, ..., 0]).as_dict()
+        for k in M.METRIC_FIELDS:
+            np.testing.assert_allclose(batched[k][i], single[k], rtol=2e-4, err_msg=f"{k}[{i}]")
+
+
+def test_average_meter_matches_reference_weighting(rng):
+    """AverageMeter is count-weighted (reference metrics.py:71-95)."""
+    meter = M.AverageMeter()
+    r1 = M.Result(rmse=2.0, mae=1.0, delta1=0.5)
+    r2 = M.Result(rmse=4.0, mae=3.0, delta1=1.0)
+    meter.update(r1, n=1)
+    meter.update(r2, n=3)
+    avg = meter.average()
+    np.testing.assert_allclose(avg.rmse, (2.0 + 3 * 4.0) / 4)
+    np.testing.assert_allclose(avg.delta1, (0.5 + 3 * 1.0) / 4)
+
+
+def test_update_batch_equals_updates(rng):
+    out = np.abs(rng.randn(3, 5, 5, 1).astype(np.float32)) + 0.1
+    tgt = np.abs(rng.randn(3, 5, 5, 1).astype(np.float32)) + 0.1
+    vals = M.evaluate_batch(jnp.asarray(out), jnp.asarray(tgt))
+    m1 = M.AverageMeter()
+    m1.update_batch(vals)
+    m2 = M.AverageMeter()
+    for i in range(3):
+        m2.update(M.evaluate(out[i, ..., 0], tgt[i, ..., 0]))
+    for k in M.METRIC_FIELDS:
+        np.testing.assert_allclose(
+            getattr(m1.average(), k), getattr(m2.average(), k), rtol=2e-4, err_msg=k
+        )
+
+
+def test_set_to_worst():
+    r = M.Result().set_to_worst()
+    assert r.rmse == float("inf") and r.delta1 == 0.0

@@ -1,0 +1,171 @@
+"""Model + converter parity tests: torch oracles (tests/torch_oracle.py,
+matching reference models.py semantics) vs our NHWC functional models,
+wired through the real torch->JAX converter."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from fastdepth_tpu.checkpoint import convert as C
+from fastdepth_tpu.checkpoint.io import numpy_to_jax
+from fastdepth_tpu.config import (
+    FASTDEPTH_PRUNED,
+    FASTDEPTH_UNPRUNED,
+    ModelConfig,
+)
+from fastdepth_tpu.models import build, from_name
+
+from torch_oracle import (
+    TorchFastDepth,
+    TorchMobileNetClassifier,
+    TorchResNetEncoder,
+    randomize_bn_stats,
+)
+
+# tiny 14-entry channel lists keep tests fast; skip-add needs
+# dec[1]==enc[5], dec[2]==enc[3], dec[3]==enc[1]
+TINY_ENC = (4, 6, 8, 10, 12, 14, 16, 16, 16, 16, 16, 16, 20, 24)
+TINY_DEC_ADD = (18, 14, 10, 6, 4)
+TINY_DEC = (18, 12, 10, 6, 4)
+
+
+def _state_dict_np(model):
+    return {k: v.detach().numpy().copy() for k, v in model.state_dict().items()}
+
+
+@pytest.mark.parametrize("skip", ["add", "concat"])
+def test_fastdepth_matches_torch_oracle(skip):
+    gen = torch.Generator().manual_seed(0)
+    dec = TINY_DEC_ADD if skip == "add" else TINY_DEC
+    tm = TorchFastDepth(TINY_ENC, dec, skip=skip).eval()
+    randomize_bn_stats(tm, gen)
+
+    x = torch.randn(2, 3, 64, 64, generator=gen)
+    with torch.no_grad():
+        ref = tm(x).numpy()
+
+    params, cfg = C.convert_fastdepth_skip(_state_dict_np(tm), skip=skip)
+    assert cfg.encoder_channels == TINY_ENC
+    assert cfg.decoder_channels == tuple(dec)
+    model = build(cfg)
+    out = model.apply(numpy_to_jax(params), jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    got = np.asarray(out).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(ref, got, atol=2e-4)
+
+
+def test_fastdepth_folded_matches_unfolded():
+    gen = torch.Generator().manual_seed(1)
+    tm = TorchFastDepth(TINY_ENC, TINY_DEC_ADD, skip="add").eval()
+    randomize_bn_stats(tm, gen)
+    params, cfg = C.convert_fastdepth_skip(_state_dict_np(tm), skip="add")
+    model = build(cfg)
+    p = numpy_to_jax(params)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 64, 64, 3).astype(np.float32))
+    y0 = model.apply(p, x)
+    y1 = model.apply(model.fold(p), x)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=2e-4)
+
+
+def test_imagenet_mobilenet_classifier_matches_torch():
+    gen = torch.Generator().manual_seed(2)
+    tm = TorchMobileNetClassifier(TINY_ENC, classes=10, pool=2).eval()
+    randomize_bn_stats(tm, gen)
+    x = torch.randn(2, 3, 64, 64, generator=gen)
+    with torch.no_grad():
+        ref = tm(x).numpy()
+
+    enc, head, channels = C.convert_imagenet_mobilenet(_state_dict_np(tm))
+    assert tuple(channels) == TINY_ENC
+
+    from fastdepth_tpu.models import mobilenet as MN
+
+    feats, _ = MN.apply_encoder(numpy_to_jax(enc), jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    logits = MN.apply_classifier(numpy_to_jax(head), feats)
+    np.testing.assert_allclose(ref, np.asarray(logits), atol=2e-4)
+
+
+def test_resnet18_encoder_matches_torch_oracle():
+    tv = TorchResNetEncoder(18).eval()
+    gen = torch.Generator().manual_seed(3)
+    randomize_bn_stats(tv, gen)
+    x = torch.randn(1, 3, 64, 64, generator=gen)
+    feats_t = {}
+    with torch.no_grad():
+        feats_t["x1"], feats_t["x6"] = tv(x)
+
+    sd = {k: v.detach().numpy() for k, v in tv.state_dict().items()}
+    params = C.convert_resnet_encoder(sd, 18)
+
+    from fastdepth_tpu.models import resnet as RN
+
+    out, taps = RN.apply_resnet_encoder(
+        numpy_to_jax(params), jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), 18
+    )
+    np.testing.assert_allclose(
+        feats_t["x1"].numpy(), np.asarray(taps[0]).transpose(0, 3, 1, 2), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        feats_t["x6"].numpy(), np.asarray(out).transpose(0, 3, 1, 2), atol=2e-4
+    )
+
+
+def test_resnet50_encoder_matches_torch_oracle():
+    tv = TorchResNetEncoder(50).eval()
+    gen = torch.Generator().manual_seed(4)
+    randomize_bn_stats(tv, gen)
+    x = torch.randn(1, 3, 64, 64, generator=gen)
+    with torch.no_grad():
+        _, y = tv(x)
+
+    sd = {k: v.detach().numpy() for k, v in tv.state_dict().items()}
+    from fastdepth_tpu.models import resnet as RN
+
+    out, _ = RN.apply_resnet_encoder(
+        numpy_to_jax(C.convert_resnet_encoder(sd, 50)),
+        jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), 50,
+    )
+    np.testing.assert_allclose(y.numpy(), np.asarray(out).transpose(0, 3, 1, 2), atol=5e-4)
+
+
+def test_pruned_config_channels():
+    """The recovered NetAdapt architecture (SURVEY.md §2) is expressible
+    and self-consistent."""
+    m = build(FASTDEPTH_PRUNED)
+    p = m.init(jax.random.PRNGKey(0))
+    assert p["encoder"]["conv0"]["w"].shape == (3, 3, 3, 16)
+    assert p["encoder"]["conv13"]["pw"]["w"].shape == (1, 1, 480, 512)
+    assert p["decoder"]["decode_conv1"]["pw"]["w"].shape == (1, 1, 512, 200)
+    assert p["decoder"]["decode_conv6"]["pw"]["w"].shape == (1, 1, 16, 1)
+
+
+def test_from_name_parsing():
+    for name, enc0, dec in [
+        ("mobilenet-nnconv5dw-skipadd", 32, "nnconv5dw"),
+        ("mobilenet-nnconv5dw-skipadd-pruned", 16, "nnconv5dw"),
+        ("mobilenet-nnconv5", 32, "nnconv5"),
+    ]:
+        m = from_name(name)
+        assert m.config.encoder_channels[0] == enc0
+        assert m.config.decoder == dec
+    assert from_name("mobilenet-nnconv5dw-skipadd-pruned").config.skip == "add"
+    assert from_name("mobilenet-nnconv5").config.skip is None
+
+
+@pytest.mark.parametrize(
+    "decoder", ["nnconv3", "blconv5dw", "deconv3", "deconv5dw", "upconv", "upproj", "shuffle3"]
+)
+def test_decoder_family_output_shapes(decoder):
+    # shuffle halves channels 4x per stage, so it needs the encoder to end
+    # at a multiple of 4^5 (the reference hardcodes 1024, models.py:296-333)
+    enc = TINY_ENC[:-1] + (1024,) if decoder.startswith("shuffle") else TINY_ENC
+    cfg = ModelConfig(
+        decoder=decoder, skip=None,
+        encoder_channels=enc, decoder_channels=TINY_DEC,
+    )
+    m = build(cfg)
+    p = m.init(jax.random.PRNGKey(0))
+    y = m.apply(p, jnp.zeros((1, 64, 64, 3)))
+    assert y.shape == (1, 64, 64, 1)
