@@ -1,0 +1,115 @@
+"""Threaded, device-feeding batch loader.
+
+Replaces torch's worker-process DataLoader (reference main.py:40-41,
+num_workers=16) with a thread pool + double-buffered device prefetch:
+h5py/numpy release the GIL for IO and gathers, and batches land on device
+(optionally sharded over a mesh) while the previous step computes —
+the host-side half of the streaming-inference path (BASELINE.json
+config #4).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+class BatchLoader:
+    """Iterates (rgb, depth) NHWC float32 batches over a dataset.
+
+    ``pad_last``: if True, the final short batch is zero-padded to
+    ``batch_size`` and yielded with its true count, keeping shapes static
+    for jit (metrics must use the count to ignore padding).
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int = 1,
+        shuffle: bool = False,
+        num_workers: int = 8,
+        prefetch: int = 2,
+        pad_last: bool = True,
+        drop_last: bool = False,
+        seed: int = 0,
+        device_put=None,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self.pad_last = pad_last
+        self.drop_last = drop_last
+        self.device_put = device_put
+        self._rng = np.random.RandomState(seed)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _load_batch(self, indices: Sequence[int]) -> Tuple[np.ndarray, np.ndarray, int]:
+        items = list(self._pool.map(self.dataset.__getitem__, indices))
+        rgb = np.stack([it[0] for it in items])
+        depth = np.stack([it[1] for it in items])
+        count = len(indices)
+        if self.pad_last and count < self.batch_size:
+            pad = self.batch_size - count
+            rgb = np.concatenate([rgb, np.zeros((pad,) + rgb.shape[1:], rgb.dtype)])
+            depth = np.concatenate([depth, np.zeros((pad,) + depth.shape[1:], depth.dtype)])
+        return rgb, depth, count
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray, int]]:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        batches = [
+            order[i : i + self.batch_size]
+            for i in range(0, len(order), self.batch_size)
+        ]
+        if self.drop_last and batches and len(batches[-1]) < self.batch_size:
+            batches.pop()
+
+        self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for idxs in batches:
+                    if stop.is_set():
+                        return
+                    batch = self._load_batch(idxs)
+                    if self.device_put is not None:
+                        batch = (
+                            self.device_put(batch[0]),
+                            self.device_put(batch[1]),
+                            batch[2],
+                        )
+                    q.put(batch)
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop.set()
+            # drain so the producer can exit
+            while t.is_alive():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            self._pool.shutdown(wait=False)

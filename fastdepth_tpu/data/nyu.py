@@ -1,0 +1,113 @@
+"""NYU Depth v2 dataset.
+
+Reference semantics (dataloaders/dataloader.py + dataloaders/nyu.py):
+
+* items are ``*.h5`` files under class subdirectories of the split root,
+  discovered with sorted directory walks (dataloader.py:31-44),
+* h5 keys: 'rgb' (3, H, W) uint8 -> HWC, 'depth' (H, W) float
+  (dataloader.py:8-13),
+* split filter (nyu.py:13-24): val = all .h5; train = all except
+  00001.h5 / 00201.h5; holdout = only those two,
+* val transform = fused ValPipeline + /255 on RGB (nyu.py:48-59),
+* train transform = TrainPipeline + ColorJitter(0.4, 0.4, 0.4) + /255
+  (nyu.py:26-46, dataloader.py:46).
+
+Output convention is NHWC float32: rgb (H, W, 3) in [0, 1], depth
+(H, W, 1) in meters — the TPU-native layout (the reference emits CHW,
+dataloader.py:90-111).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from fastdepth_tpu.data import transforms as T
+from fastdepth_tpu.data.pipeline import TrainPipeline, TrainSample, ValPipeline
+
+RAW_SIZE = (480, 640)   # nyu.py:5
+OUTPUT_SIZE = (224, 224)  # nyu.py:11
+
+
+def h5_loader(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        rgb = np.transpose(np.array(f["rgb"]), (1, 2, 0))
+        depth = np.array(f["depth"])
+    return rgb, depth
+
+
+class NYUDataset:
+    modality_names = ["rgb"]
+
+    def __init__(
+        self,
+        root: str,
+        split: str,
+        modality: str = "rgb",
+        loader=h5_loader,
+        seed: int = 0,
+    ):
+        if split not in ("train", "holdout", "val"):
+            raise RuntimeError(
+                f"Invalid dataset split: {split}\n"
+                "Supported dataset splits are: train, val"
+            )
+        if modality not in self.modality_names:
+            raise RuntimeError(f"Invalid modality: {modality}")
+        self.root = root
+        self.split = split
+        self.modality = modality
+        self.loader = loader
+        self.imgs = self._make_dataset(root, split)
+        assert len(self.imgs) > 0, f"Found 0 images in subfolders of: {root}\n"
+        self.val_pipeline = ValPipeline.create(raw_size=RAW_SIZE, output_size=OUTPUT_SIZE)
+        self.train_pipeline = TrainPipeline(raw_size=RAW_SIZE, output_size=OUTPUT_SIZE)
+        self.color_jitter = T.ColorJitter(0.4, 0.4, 0.4)
+        self._rng = np.random.RandomState(seed)
+
+    @staticmethod
+    def _is_image_file(filename: str, split: str) -> bool:
+        if not filename.endswith(".h5"):
+            return False
+        held_out = "00001.h5" in filename or "00201.h5" in filename
+        if split == "train":
+            return not held_out
+        if split == "holdout":
+            return held_out
+        return True  # val
+
+    @classmethod
+    def _make_dataset(cls, root: str, split: str) -> List[str]:
+        root = os.path.expanduser(root)
+        paths: List[str] = []
+        for target in sorted(os.listdir(root)):
+            d = os.path.join(root, target)
+            if not os.path.isdir(d):
+                continue
+            for walk_root, _, fnames in sorted(os.walk(d)):
+                for fname in sorted(fnames):
+                    if cls._is_image_file(fname, split):
+                        paths.append(os.path.join(walk_root, fname))
+        return paths
+
+    def __len__(self) -> int:
+        return len(self.imgs)
+
+    def get_raw(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
+        return self.loader(self.imgs[index])
+
+    def __getitem__(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
+        rgb, depth = self.get_raw(index)
+        if self.split == "train":
+            sample = TrainSample.draw(self._rng)
+            rgb_np, depth_np = self.train_pipeline(
+                rgb, depth, sample, color_jitter=self.color_jitter, rng=self._rng
+            )
+        else:
+            rgb_np = np.asarray(self.val_pipeline(rgb), np.float32) / 255.0
+            depth_np = np.asarray(self.val_pipeline(depth), np.float32)
+        return rgb_np, depth_np[..., None]

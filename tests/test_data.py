@@ -1,0 +1,96 @@
+"""NYU dataset + batch loader tests over synthetic HDF5 trees
+(reference dataloaders/dataloader.py:8-44, nyu.py:13-24 semantics)."""
+
+import os
+
+import h5py
+import numpy as np
+import pytest
+
+from fastdepth_tpu.data import BatchLoader, NYUDataset
+
+
+@pytest.fixture
+def nyu_root(tmp_path, rng):
+    """A tiny NYU-layout tree: root/<scene>/*.h5 with 'rgb' (3,H,W) uint8
+    and 'depth' (H,W) float32, including the two holdout files."""
+    root = tmp_path / "val"
+    names = {
+        "kitchen_0001": ["00001.h5", "00300.h5"],
+        "office_0002": ["00201.h5", "00500.h5", "00501.h5"],
+    }
+    for scene, files in names.items():
+        d = root / scene
+        d.mkdir(parents=True)
+        for fname in files:
+            with h5py.File(d / fname, "w") as f:
+                f["rgb"] = (rng.rand(3, 480, 640) * 255).astype(np.uint8)
+                f["depth"] = (rng.rand(480, 640) * 9 + 0.5).astype(np.float32)
+    return str(root)
+
+
+def test_split_filters(nyu_root):
+    assert len(NYUDataset(nyu_root, "val").imgs) == 5
+    assert len(NYUDataset(nyu_root, "train").imgs) == 3
+    holdout = NYUDataset(nyu_root, "holdout").imgs
+    assert len(holdout) == 2
+    assert all("00001.h5" in p or "00201.h5" in p for p in holdout)
+
+
+def test_file_order_is_sorted(nyu_root):
+    ds = NYUDataset(nyu_root, "val")
+    assert ds.imgs == sorted(ds.imgs)
+
+
+def test_val_item_shapes_and_ranges(nyu_root):
+    ds = NYUDataset(nyu_root, "val")
+    rgb, depth = ds[0]
+    assert rgb.shape == (224, 224, 3) and rgb.dtype == np.float32
+    assert depth.shape == (224, 224, 1) and depth.dtype == np.float32
+    assert 0.0 <= rgb.min() and rgb.max() <= 1.0
+    assert depth.min() >= 0.0
+
+
+def test_train_item_augmented(nyu_root):
+    ds = NYUDataset(nyu_root, "train", seed=3)
+    rgb1, depth1 = ds[0]
+    rgb2, depth2 = ds[0]  # new random draw
+    assert rgb1.shape == (224, 224, 3)
+    assert not np.array_equal(rgb1, rgb2)
+    # depth was divided by s in [1, 1.5] (nyu.py:28): values shrink
+    assert depth1.max() <= 10.0
+
+
+def test_batch_loader_batches_and_padding(nyu_root):
+    ds = NYUDataset(nyu_root, "val")
+    loader = BatchLoader(ds, batch_size=2, num_workers=2, pad_last=True)
+    batches = list(loader)
+    assert len(batches) == 3
+    rgb, depth, count = batches[-1]
+    assert rgb.shape == (2, 224, 224, 3)  # padded to full batch
+    assert count == 1
+    assert np.all(rgb[1] == 0)
+
+
+def test_batch_loader_matches_dataset_items(nyu_root):
+    ds = NYUDataset(nyu_root, "val")
+    loader = BatchLoader(ds, batch_size=2, num_workers=2)
+    rgb, depth, count = next(iter(loader))
+    r0, d0 = ds[0]
+    r1, d1 = ds[1]
+    np.testing.assert_array_equal(rgb[0], r0)
+    np.testing.assert_array_equal(depth[1], d1)
+
+
+def test_batch_loader_shuffle_deterministic(nyu_root):
+    ds = NYUDataset(nyu_root, "val")
+    l1 = BatchLoader(ds, batch_size=5, shuffle=True, seed=11)
+    l2 = BatchLoader(ds, batch_size=5, shuffle=True, seed=11)
+    b1 = next(iter(l1))[0]
+    b2 = next(iter(l2))[0]
+    np.testing.assert_array_equal(b1, b2)
+
+
+def test_invalid_split_raises(nyu_root):
+    with pytest.raises(RuntimeError):
+        NYUDataset(nyu_root, "test")

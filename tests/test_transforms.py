@@ -1,0 +1,126 @@
+"""Transform parity: fused gather pipelines vs a faithful PIL/scipy
+emulation of the reference's scipy.misc.imresize chain (reference
+dataloaders/transforms.py:311-341 + nyu.py:26-59).  scipy.misc.imresize
+is gone from modern scipy; PIL is the oracle (imresize wrapped PIL)."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from fastdepth_tpu.data import transforms as T
+from fastdepth_tpu.data.pipeline import TrainPipeline, TrainSample, ValPipeline
+
+
+def pil_imresize(arr: np.ndarray, size) -> np.ndarray:
+    """Oracle: scipy.misc.imresize(arr, size, 'nearest'[, mode='F']) —
+    exactly what the reference Resize does (transforms.py:337-339)."""
+    if arr.ndim == 2:
+        im = Image.fromarray(arr.astype(np.float32), mode="F")
+    else:
+        im = Image.fromarray(arr)
+    h, w = arr.shape[:2]
+    if isinstance(size, (tuple, list)):
+        target = (int(size[1]), int(size[0]))  # PIL (w, h)
+    else:
+        f = size / 100.0 if isinstance(size, (int, np.integer)) else float(size)
+        target = (int(w * f), int(h * f))
+    return np.array(im.resize(target, resample=Image.NEAREST))
+
+
+@pytest.mark.parametrize("in_size,out_size", [(480, 250), (640, 333), (228, 224), (304, 224), (10, 7), (7, 10)])
+def test_nearest_indices_match_pil(in_size, out_size, rng):
+    img = (rng.rand(in_size, 8) * 255).astype(np.uint8)
+    ref = np.array(Image.fromarray(img).resize((8, out_size), Image.NEAREST))
+    rows = T.nearest_resize_indices(in_size, out_size)
+    np.testing.assert_array_equal(ref, img[rows])
+
+
+def test_resize_nearest_fraction_matches_oracle(rng):
+    rgb = (rng.rand(480, 640, 3) * 255).astype(np.uint8)
+    f = 250.0 / 480.0
+    np.testing.assert_array_equal(pil_imresize(rgb, f), T.resize_nearest(rgb, f))
+
+
+def test_resize_nearest_float_depth_matches_oracle(rng):
+    depth = (rng.rand(480, 640) * 10).astype(np.float32)
+    f = 250.0 / 480.0
+    np.testing.assert_array_equal(pil_imresize(depth, f), T.resize_nearest(depth, f))
+
+
+def test_val_pipeline_matches_stepwise_reference(rng):
+    """Fused single-gather val geometry == Resize -> CenterCrop -> Resize
+    done step by step through the PIL oracle (nyu.py:48-59)."""
+    rgb = (rng.rand(480, 640, 3) * 255).astype(np.uint8)
+    depth = (rng.rand(480, 640) * 10).astype(np.float32)
+
+    def stepwise(img):
+        img = pil_imresize(img, 250.0 / 480.0)
+        img = T.center_crop(img, (228, 304))
+        return pil_imresize(img, (224, 224))
+
+    pipe = ValPipeline.create()
+    np.testing.assert_array_equal(stepwise(rgb), pipe(rgb))
+    np.testing.assert_array_equal(stepwise(depth), pipe(depth))
+
+
+def test_val_pipeline_batch_equals_per_image(rng):
+    imgs = (rng.rand(3, 480, 640, 3) * 255).astype(np.uint8)
+    pipe = ValPipeline.create()
+    batch = pipe.apply_batch(imgs)
+    for i in range(3):
+        np.testing.assert_array_equal(batch[i], pipe(imgs[i]))
+
+
+@pytest.mark.parametrize("do_flip", [False, True])
+def test_train_pipeline_matches_stepwise_reference(rng, do_flip):
+    """Fused train geometry == the reference chain Resize(250/480) ->
+    Rotate -> Resize(s) -> CenterCrop -> HFlip -> Resize(224)
+    (nyu.py:33-41), rotation included."""
+    rgb = (rng.rand(480, 640, 3) * 255).astype(np.uint8)
+    depth = (rng.rand(480, 640) * 10).astype(np.float32)
+    s = TrainSample(scale=1.23, angle=-3.7, do_flip=do_flip)
+
+    def stepwise(img):
+        img = pil_imresize(img, 250.0 / 480.0)
+        img = T.rotate(img, s.angle)
+        img = pil_imresize(img, s.scale)
+        img = T.center_crop(img, (228, 304))
+        img = T.horizontal_flip(img, s.do_flip)
+        return pil_imresize(img, (224, 224))
+
+    pipe = TrainPipeline()
+    rgb_out, depth_out = pipe(rgb, depth / s.scale * s.scale, s)  # no jitter
+    np.testing.assert_allclose(
+        np.asarray(stepwise(rgb), np.float32) / 255.0, rgb_out, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(stepwise(depth / s.scale), np.float32), depth_out, atol=1e-6
+    )
+
+
+def test_color_jitter_deterministic_and_valid(rng):
+    img = (rng.rand(32, 32, 3) * 255).astype(np.uint8)
+    cj = T.ColorJitter(0.4, 0.4, 0.4)
+    out1 = cj(img, np.random.RandomState(7))
+    out2 = cj(img, np.random.RandomState(7))
+    np.testing.assert_array_equal(out1, out2)
+    assert out1.dtype == np.uint8 and out1.shape == img.shape
+    # different seed -> (almost surely) different output
+    out3 = cj(img, np.random.RandomState(8))
+    assert not np.array_equal(out1, out3)
+
+
+def test_color_jitter_order_shuffle_uses_reference_rng_protocol():
+    """The reference draws factors then shuffles the op list with the same
+    RNG (transforms.py:552-573); replicating the draw sequence matters for
+    seeded reproducibility."""
+    img = np.full((8, 8, 3), 128, np.uint8)
+    cj = T.ColorJitter(0.4, 0.4, 0.4, 0.1)
+    out = cj(img, np.random.RandomState(0))
+    assert out.shape == img.shape
+
+
+def test_center_crop_bankers_rounding():
+    # (333 - 304) / 2 = 14.5 -> round() gives 14 (banker's), not 15
+    i, j = T.center_crop_offsets(250, 333, 228, 304)
+    assert (i, j) == (11, 14)
