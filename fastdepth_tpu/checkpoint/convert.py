@@ -219,6 +219,15 @@ def convert_checkpoint(path: str) -> Tuple[Dict, ModelConfig, Dict]:
         params, cfg = convert_fastdepth_skip(sd, skip="add")
     elif class_name == "MobileNetSkipConcat":
         params, cfg = convert_fastdepth_skip(sd, skip="concat")
+    elif "conv0.0.weight" in sd and "decode_conv1.0.0.weight" in sd:
+        # structure sniff for renamed/pruned variants: additive skips keep
+        # decode_conv3's dw input equal to decode_conv2's pw output;
+        # concat widens it (models.py:769-777)
+        dec2_out = sd["decode_conv2.1.0.weight"].shape[0]
+        dw3_in = sd["decode_conv3.0.0.weight"].shape[0]
+        params, cfg = convert_fastdepth_skip(
+            sd, skip="add" if dw3_in == dec2_out else "concat"
+        )
     else:
         raise NotImplementedError(
             f"no converter for pickled class {class_name!r} yet"

@@ -1,0 +1,101 @@
+"""Evaluation CLI — the ``main.py --evaluate`` equivalent
+(reference main.py:26-60, utils.py:12-34).
+
+Usage:
+    python -m fastdepth_tpu.cli.evaluate --evaluate CKPT [--data nyudepthv2] ...
+
+CKPT may be a native .npz checkpoint or a reference PyTorch .pth[.tar]
+pickle (converted on the fly via checkpoint/convert.py).  TPU-native
+extras over the reference CLI: --batch-size, --bf16, --mesh-devices,
+--no-fold-bn.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="FastDepth-TPU evaluation")
+    # reference flags (utils.py:12-34)
+    p.add_argument("--data", metavar="DATA", default="nyudepthv2",
+                   choices=["nyudepthv2"], help="dataset name")
+    p.add_argument("--data-root", default=os.path.join("..", "data"),
+                   help="datasets directory (reference hardcodes ../data, main.py:31)")
+    p.add_argument("--modality", "-m", default="rgb", choices=["rgb"])
+    p.add_argument("-j", "--workers", default=8, type=int, metavar="N")
+    p.add_argument("--print-freq", "-p", default=50, type=int, metavar="N")
+    p.add_argument("-e", "--evaluate", required=True, type=str, metavar="PATH")
+    # TPU-native flags
+    p.add_argument("--batch-size", default=8, type=int)
+    p.add_argument("--bf16", action="store_true", help="run the model in bfloat16")
+    p.add_argument("--mesh-devices", default=None, type=int,
+                   help="shard batches over this many devices (default: no mesh)")
+    p.add_argument("--no-fold-bn", action="store_true",
+                   help="keep BatchNorm unfolded (exact reference numerics)")
+    p.add_argument("--no-images", action="store_true", help="skip comparison PNGs")
+    p.add_argument("--csv", default=None, help="append final metrics to this CSV")
+    return p.parse_args(argv)
+
+
+def load_params_and_model(path: str):
+    """Dispatch on checkpoint format; returns (params, Model, meta)."""
+    from fastdepth_tpu.checkpoint.io import load_checkpoint, numpy_to_jax
+    from fastdepth_tpu.models import build
+
+    if path.endswith(".npz"):
+        params, cfg, meta = load_checkpoint(path)
+    else:
+        from fastdepth_tpu.checkpoint.convert import convert_checkpoint
+
+        params, cfg, meta = convert_checkpoint(path)
+    return numpy_to_jax(params), build(cfg), meta
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    assert os.path.isfile(args.evaluate), f"=> no model found at '{args.evaluate}'"
+    print(f"=> loading model '{args.evaluate}'")
+    params, model, meta = load_params_and_model(args.evaluate)
+    print(f"=> loaded model (epoch {meta.get('epoch', 0)})")
+
+    from fastdepth_tpu.data import BatchLoader, NYUDataset
+    from fastdepth_tpu.engine import Evaluator, validate
+    from fastdepth_tpu.parallel import make_mesh
+
+    print("=> creating data loaders...")
+    valdir = os.path.join(args.data_root, args.data, "val")
+    dataset = NYUDataset(valdir, split="val", modality=args.modality)
+    loader = BatchLoader(
+        dataset, batch_size=args.batch_size, num_workers=args.workers,
+        pad_last=True,
+    )
+    print("=> data loaders created.")
+
+    mesh = make_mesh(args.mesh_devices) if args.mesh_devices else None
+    evaluator = Evaluator(
+        model, params,
+        batch_size=args.batch_size,
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        mesh=mesh,
+        fold_bn=not args.no_fold_bn,
+    )
+    output_dir = os.path.dirname(os.path.abspath(args.evaluate))
+    result = validate(
+        loader, evaluator,
+        epoch=meta.get("epoch", 0),
+        print_freq=args.print_freq,
+        output_dir=output_dir,
+        make_images=not args.no_images,
+        write_to_file=args.csv is not None,
+        csv_path=args.csv,
+    )
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,66 @@
+"""AOT compilation — the XLA-native replacement for the reference's TVM
+deploy bundle (deploy_lib.o / deploy_graph.json / deploy_param.params,
+reference deploy/tx2_run_tvm.py:13-26).
+
+``jax.jit(...).lower(...).compile()`` plays the role of TVM's graph
+compiler; the serialized executable + the .npz checkpoint are the deploy
+artifact pair.  First-class both for latency (no retrace/compile at
+serve time) and as the unit the benchmark CLI times.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from fastdepth_tpu.models.registry import Model
+
+
+def compile_forward(
+    model: Model,
+    params,
+    *,
+    batch_size: int = 1,
+    image_size: Tuple[int, int] = (224, 224),
+    dtype=jnp.float32,
+    fold_bn: bool = True,
+    donate: bool = False,
+):
+    """Returns (compiled_fn, params_prepared).  compiled_fn(params, rgb)
+    is an AOT-compiled executable for the fixed shape."""
+    if fold_bn:
+        params = model.fold(params)
+    if dtype != jnp.float32:
+        params = jax.tree.map(
+            lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a,
+            params,
+        )
+
+    def forward(p, x):
+        return model.apply(p, x.astype(dtype)).astype(jnp.float32)
+
+    h, w = image_size
+    x_spec = jax.ShapeDtypeStruct((batch_size, h, w, 3), jnp.float32)
+    p_spec = jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params)
+    compiled = jax.jit(forward).lower(p_spec, x_spec).compile()
+    return compiled, params
+
+
+def serialize_compiled(compiled) -> bytes:
+    """Serialize an AOT executable (cache artifact; best-effort — some
+    backends don't support export)."""
+    from jax._src import compilation_cache  # noqa: F401  (cache warms on compile)
+
+    return compiled.as_text().encode()  # HLO text as a portable artifact
+
+
+def flops_estimate(compiled) -> Optional[float]:
+    try:
+        analysis = compiled.cost_analysis()
+        if isinstance(analysis, list):
+            analysis = analysis[0]
+        return float(analysis.get("flops", 0.0))
+    except Exception:
+        return None

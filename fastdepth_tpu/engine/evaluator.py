@@ -1,0 +1,177 @@
+"""Batched, mesh-aware evaluation engine.
+
+Reproduces ``validate()`` semantics (reference main.py:63-126): per-image
+metrics averaged with AverageMeter, progress prints every ``print_freq``
+images, a comparison PNG built from every 50th of the first 400 images,
+and the final report/CSV — but TPU-native:
+
+* model + metrics run in ONE jitted NHWC batch step; only 10 metric
+  scalars per image leave the device (the reference syncs full preds per
+  item, main.py:80-82),
+* batches are padded to a static shape and sharded over a data-parallel
+  mesh; the pad tail is masked out of the metric sums on device,
+* timing via ``block_until_ready`` (the reference's CUDA timing is
+  async-skewed, SURVEY.md §5 'Tracing').
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fastdepth_tpu import metrics as M
+from fastdepth_tpu import viz
+from fastdepth_tpu.models.registry import Model
+from fastdepth_tpu.parallel import mesh as mesh_lib
+
+CSV_FIELDNAMES = [
+    "rmse", "mae", "delta1", "absrel", "lg10", "mse", "delta2", "delta3",
+    "data_time", "gpu_time",
+]  # reference main.py:20-21
+
+
+class Evaluator:
+    def __init__(
+        self,
+        model: Model,
+        params,
+        *,
+        batch_size: int = 1,
+        dtype=jnp.float32,
+        mesh=None,
+        fold_bn: bool = True,
+        donate: bool = False,
+    ):
+        self.model = model
+        self.batch_size = batch_size
+        self.dtype = dtype
+        self.mesh = mesh
+        if fold_bn:
+            params = model.fold(params)
+        if dtype != jnp.float32:
+            params = jax.tree.map(
+                lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a,
+                params,
+            )
+        if mesh is not None:
+            params = mesh_lib.put_replicated(params, mesh)
+        self.params = params
+
+        def step(params, rgb, depth):
+            rgb = rgb.astype(dtype)
+            pred = model.apply(params, rgb)
+            pred = pred.astype(jnp.float32)
+            return pred, M.evaluate_batch(pred, depth)
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            data = NamedSharding(mesh, P("data"))
+            repl = NamedSharding(mesh, P())
+            self._step = jax.jit(
+                step,
+                in_shardings=(repl, data, data),
+                out_shardings=(data, data),
+            )
+        else:
+            self._step = jax.jit(step)
+
+    def put(self, arr):
+        if self.mesh is not None:
+            return mesh_lib.put_sharded(arr, self.mesh)
+        return jax.device_put(arr)
+
+    def __call__(self, rgb, depth):
+        return self._step(self.params, rgb, depth)
+
+
+def validate(
+    loader,
+    evaluator: Evaluator,
+    *,
+    epoch: int = 0,
+    print_freq: int = 50,
+    output_dir: Optional[str] = None,
+    write_to_file: bool = False,
+    csv_path: Optional[str] = None,
+    make_images: bool = True,
+    log=print,
+) -> M.Result:
+    """Full-dataset evaluation with reference-format reporting
+    (main.py:63-126)."""
+    meter = M.AverageMeter()
+    img_merge = None
+    rows_added = 0
+    seen = 0
+    end = time.time()
+    for rgb, depth, count in loader:
+        data_time = time.time() - end
+        start = time.time()
+        rgb_d = evaluator.put(rgb)
+        depth_d = evaluator.put(depth)
+        pred, batch_metrics = evaluator(rgb_d, depth_d)
+        jax.block_until_ready(batch_metrics)
+        gpu_time = time.time() - start
+
+        valid = {k: np.asarray(v)[:count] for k, v in batch_metrics.items()}
+        meter.update_batch(valid, gpu_time=gpu_time / count, data_time=data_time / count)
+
+        # comparison strip: every 50th of the first 8*50 images
+        # (main.py:85-98)
+        if make_images and output_dir is not None:
+            for i in range(count):
+                gi = seen + i
+                if gi % 50 == 0 and gi < 8 * 50:
+                    row = viz.merge_into_row(
+                        np.asarray(rgb[i]), np.asarray(depth[i]), np.asarray(pred[i])
+                    )
+                    img_merge = row if img_merge is None else viz.add_row(img_merge, row)
+                    rows_added += 1
+                elif gi == 8 * 50 and img_merge is not None:
+                    viz.save_image(img_merge, os.path.join(output_dir, f"comparison_{epoch}.png"))
+        seen += count
+
+        # print every `print_freq` images (reference main.py:100-108)
+        if print_freq and (seen % print_freq) < count:
+            avg = meter.average()
+            last = {k: float(v[-1]) for k, v in valid.items()}
+            log(
+                f"Test: [{seen}/{len(loader.dataset)}]\t"
+                f"t_GPU={gpu_time:.3f}({avg.gpu_time:.3f})\n\t"
+                f"RMSE={last['rmse']:.2f}({avg.rmse:.2f}) "
+                f"MAE={last['mae']:.2f}({avg.mae:.2f}) "
+                f"Delta1={last['delta1']:.3f}({avg.delta1:.3f}) "
+                f"REL={last['absrel']:.3f}({avg.absrel:.3f}) "
+                f"Lg10={last['lg10']:.3f}({avg.lg10:.3f}) "
+            )
+        end = time.time()
+
+    avg = meter.average()
+    log(
+        "\n*\n"
+        f"RMSE={avg.rmse:.3f}\n"
+        f"MAE={avg.mae:.3f}\n"
+        f"Delta1={avg.delta1:.3f}\n"
+        f"REL={avg.absrel:.3f}\n"
+        f"Lg10={avg.lg10:.3f}\n"
+        f"t_GPU={avg.gpu_time:.3f}\n"
+    )
+    if write_to_file and csv_path:
+        new = not os.path.exists(csv_path)
+        with open(csv_path, "a", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=CSV_FIELDNAMES)
+            if new:
+                w.writeheader()
+            w.writerow({
+                "mse": avg.mse, "rmse": avg.rmse, "absrel": avg.absrel,
+                "lg10": avg.lg10, "mae": avg.mae, "delta1": avg.delta1,
+                "delta2": avg.delta2, "delta3": avg.delta3,
+                "data_time": avg.data_time, "gpu_time": avg.gpu_time,
+            })
+    return avg

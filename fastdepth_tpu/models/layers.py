@@ -111,15 +111,16 @@ def tree_fold(params, *, transpose_keys: Tuple[str, ...] = ()) -> Dict:
 
 
 def merge_stats(params: Dict, stats: StatsDict) -> Dict:
-    """Return params with updated BN running stats merged in (pure;
-    safe under jit tracing — no in-place mutation)."""
+    """Return params with updated BN running mean/var merged in (pure;
+    safe under jit tracing).  Only the keys present in each stats entry
+    are replaced — scale/bias keep their (optimizer-updated) values."""
     if not stats:
         return params
 
     def rec(node, prefix):
         if isinstance(node, dict):
             return {
-                k: (stats[prefix + (k,)] if prefix + (k,) in stats else rec(v, prefix + (k,)))
+                k: (dict(v, **stats[prefix + (k,)]) if prefix + (k,) in stats else rec(v, prefix + (k,)))
                 for k, v in node.items()
             }
         return node

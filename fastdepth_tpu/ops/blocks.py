@@ -162,11 +162,12 @@ def batch_norm_train(
     y = x * inv + (p["bias"] - mean * inv)
     n = x.shape[0] * x.shape[1] * x.shape[2]
     unbiased = var * n / max(n - 1, 1)
-    new_stats = dict(
-        p,
-        mean=(1 - momentum) * p["mean"] + momentum * mean,
-        var=(1 - momentum) * p["var"] + momentum * unbiased,
-    )
+    # return ONLY the running-stat updates; scale/bias belong to the
+    # optimizer and must not be overwritten by the stat merge
+    new_stats = {
+        "mean": (1 - momentum) * p["mean"] + momentum * mean,
+        "var": (1 - momentum) * p["var"] + momentum * unbiased,
+    }
     return y, new_stats
 
 

@@ -1,0 +1,47 @@
+"""Visualization: viridis depth colormaps and rgb|gt|pred comparison
+strips (reference utils.py:37-83 and deploy/data/visualize.py:9-35)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+
+def colored_depthmap(depth: np.ndarray, d_min: Optional[float] = None,
+                     d_max: Optional[float] = None) -> np.ndarray:
+    """Depth (H, W) -> viridis RGB float in [0, 255] (utils.py:37-43)."""
+    import matplotlib.pyplot as plt
+
+    if d_min is None:
+        d_min = float(np.min(depth))
+    if d_max is None:
+        d_max = float(np.max(depth))
+    rel = (depth - d_min) / (d_max - d_min)
+    return 255 * plt.cm.viridis(rel)[:, :, :3]
+
+
+def merge_into_row(rgb: np.ndarray, depth_target: np.ndarray,
+                   depth_pred: np.ndarray) -> np.ndarray:
+    """One comparison row [rgb | gt | pred] with a shared color scale
+    (utils.py:46-57).  Inputs NHWC/HWC in [0, 1] rgb and (H, W[,1]) depths."""
+    rgb = 255 * np.squeeze(np.asarray(rgb))
+    tgt = np.squeeze(np.asarray(depth_target))
+    pred = np.squeeze(np.asarray(depth_pred))
+    d_min = min(float(tgt.min()), float(pred.min()))
+    d_max = max(float(tgt.max()), float(pred.max()))
+    return np.hstack([
+        rgb,
+        colored_depthmap(tgt, d_min, d_max),
+        colored_depthmap(pred, d_min, d_max),
+    ])
+
+
+def add_row(img_merge: np.ndarray, row: np.ndarray) -> np.ndarray:
+    return np.vstack([img_merge, row])
+
+
+def save_image(img_merge: np.ndarray, filename: str) -> None:
+    from PIL import Image
+
+    Image.fromarray(img_merge.astype("uint8")).save(filename)

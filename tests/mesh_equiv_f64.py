@@ -1,0 +1,61 @@
+"""Subprocess helper (run with JAX_ENABLE_X64=1): proves the data-parallel
+gradient over an 8-device mesh equals the single-device batch gradient in
+float64 — i.e. the SPMD program is semantically identical and f32 deltas
+seen in-process are summation-order noise only."""
+
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
+
+from fastdepth_tpu.config import ModelConfig  # noqa: E402
+from fastdepth_tpu.models import build  # noqa: E402
+from fastdepth_tpu.parallel import make_mesh  # noqa: E402
+from fastdepth_tpu.parallel.mesh import put_sharded  # noqa: E402
+from fastdepth_tpu.train.loss import masked_l1_loss  # noqa: E402
+
+
+def main():
+    enc = (4, 6, 8, 10, 12, 14, 16, 16, 16, 16, 16, 16, 20, 24)
+    dec = (18, 14, 10, 6, 4)
+    model = build(ModelConfig(encoder_channels=enc, decoder_channels=dec))
+    params = jax.tree.map(
+        lambda a: a.astype(jnp.float64), model.init(jax.random.PRNGKey(1))
+    )
+    rng = np.random.RandomState(0)
+    rgb = jnp.asarray(rng.rand(8, 32, 32, 3), jnp.float64)
+    depth = jnp.asarray(rng.rand(8, 32, 32, 1) * 5 + 0.5, jnp.float64)
+
+    def loss_fn(p, rgb, depth):
+        return masked_l1_loss(model.apply(p, rgb, train=True, stats={}), depth)
+
+    g1 = jax.jit(jax.grad(loss_fn))(params, rgb, depth)
+
+    mesh = make_mesh(8)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    g2 = jax.jit(
+        jax.grad(loss_fn),
+        in_shardings=(jax.tree.map(lambda _: repl, params), data, data),
+    )(jax.device_put(params, repl), put_sharded(rgb, mesh), put_sharded(depth, mesh))
+
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-9, rtol=1e-7)
+    print("MESH_EQUIV_OK")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,156 @@
+"""End-to-end slice test: torch full-module checkpoint -> converter ->
+batched jitted eval over a synthetic NYU val tree -> metrics identical to
+running the torch model + reference metric formulas directly
+(the rebuild of reference `main.py --evaluate`, SURVEY.md §7 step 3)."""
+
+import os
+
+import h5py
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from fastdepth_tpu.data import BatchLoader, NYUDataset
+from fastdepth_tpu.engine import Evaluator, validate
+from fastdepth_tpu.metrics import AverageMeter
+from fastdepth_tpu.models import build
+
+from test_metrics import torch_reference_metrics
+from torch_oracle import TorchFastDepth, randomize_bn_stats
+
+TINY_ENC = (4, 6, 8, 10, 12, 14, 16, 16, 16, 16, 16, 16, 20, 24)
+TINY_DEC = (18, 14, 10, 6, 4)
+
+
+@pytest.fixture(scope="module")
+def nyu_val_root(tmp_path_factory):
+    rng = np.random.RandomState(42)
+    root = tmp_path_factory.mktemp("nyud") / "val"
+    for scene, files in {"scene_a": ["00001.h5", "00007.h5"],
+                         "scene_b": ["00050.h5", "00051.h5", "00052.h5"]}.items():
+        d = root / scene
+        d.mkdir(parents=True)
+        for fname in files:
+            with h5py.File(d / fname, "w") as f:
+                f["rgb"] = (rng.rand(3, 480, 640) * 255).astype(np.uint8)
+                f["depth"] = (rng.rand(480, 640) * 9 + 0.5).astype(np.float32)
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def torch_ckpt(tmp_path_factory):
+    gen = torch.Generator().manual_seed(0)
+    tm = TorchFastDepth(TINY_ENC, TINY_DEC, skip="add").eval()
+    randomize_bn_stats(tm, gen)
+    path = tmp_path_factory.mktemp("ckpt") / "model_best.pth.tar"
+    torch.save({"epoch": 7, "best_result": None, "model": tm}, path)
+    return str(path), tm
+
+
+def _torch_validate(tm, dataset):
+    """Reference-semantics oracle loop: torch forward + reference metric
+    formulas, per image, count-averaged."""
+    meter = AverageMeter()
+    from fastdepth_tpu.metrics import Result
+
+    for i in range(len(dataset)):
+        rgb, depth = dataset[i]
+        x = torch.from_numpy(rgb.transpose(2, 0, 1)[None])
+        with torch.no_grad():
+            pred = tm(x).numpy()[0, 0]
+        vals = torch_reference_metrics(pred, depth[..., 0])
+        meter.update(Result(**vals))
+    return meter.average()
+
+
+def test_e2e_eval_matches_torch_oracle(nyu_val_root, torch_ckpt, tmp_path):
+    ckpt_path, tm = torch_ckpt
+    from fastdepth_tpu.checkpoint.convert import convert_checkpoint
+    from fastdepth_tpu.checkpoint.io import numpy_to_jax
+
+    params, cfg, meta = convert_checkpoint(ckpt_path)
+    assert meta["epoch"] == 7
+    assert cfg.encoder_channels == TINY_ENC
+
+    dataset = NYUDataset(nyu_val_root, split="val")
+    loader = BatchLoader(dataset, batch_size=2, num_workers=2, pad_last=True)
+    evaluator = Evaluator(build(cfg), numpy_to_jax(params), batch_size=2)
+    avg = validate(loader, evaluator, print_freq=2, make_images=False, log=lambda *a: None)
+
+    ref = _torch_validate(tm, dataset)
+    np.testing.assert_allclose(avg.rmse, ref.rmse, rtol=1e-3)
+    np.testing.assert_allclose(avg.delta1, ref.delta1, rtol=1e-3)
+    np.testing.assert_allclose(avg.absrel, ref.absrel, rtol=1e-3)
+    np.testing.assert_allclose(avg.mae, ref.mae, rtol=1e-3)
+
+
+def test_e2e_unfolded_bn_tightens_parity(nyu_val_root, torch_ckpt):
+    """Without BN folding the numerics match torch even tighter."""
+    ckpt_path, tm = torch_ckpt
+    from fastdepth_tpu.checkpoint.convert import convert_checkpoint
+    from fastdepth_tpu.checkpoint.io import numpy_to_jax
+
+    params, cfg, _ = convert_checkpoint(ckpt_path)
+    dataset = NYUDataset(nyu_val_root, split="val")
+    loader = BatchLoader(dataset, batch_size=5, num_workers=2)
+    evaluator = Evaluator(build(cfg), numpy_to_jax(params), batch_size=5, fold_bn=False)
+    avg = validate(loader, evaluator, print_freq=0, make_images=False, log=lambda *a: None)
+    ref = _torch_validate(tm, dataset)
+    np.testing.assert_allclose(avg.rmse, ref.rmse, rtol=2e-4)
+    np.testing.assert_allclose(avg.delta1, ref.delta1, rtol=2e-4)
+
+
+def test_e2e_mesh_sharded_eval_matches_single(nyu_val_root, torch_ckpt):
+    """Data-parallel eval over the 8-device CPU mesh == single-device
+    results (the multi-chip path, BASELINE.json config #4)."""
+    ckpt_path, _ = torch_ckpt
+    from fastdepth_tpu.checkpoint.convert import convert_checkpoint
+    from fastdepth_tpu.checkpoint.io import numpy_to_jax
+    from fastdepth_tpu.parallel import make_mesh
+
+    params, cfg, _ = convert_checkpoint(ckpt_path)
+    dataset = NYUDataset(nyu_val_root, split="val")
+    model = build(cfg)
+
+    loader = BatchLoader(dataset, batch_size=8, num_workers=2, pad_last=True)
+    ev1 = Evaluator(model, numpy_to_jax(params), batch_size=8)
+    avg1 = validate(loader, ev1, print_freq=0, make_images=False, log=lambda *a: None)
+
+    mesh = make_mesh(8)
+    ev8 = Evaluator(model, numpy_to_jax(params), batch_size=8, mesh=mesh)
+    avg8 = validate(loader, ev8, print_freq=0, make_images=False, log=lambda *a: None)
+
+    np.testing.assert_allclose(avg1.rmse, avg8.rmse, rtol=1e-5)
+    np.testing.assert_allclose(avg1.delta1, avg8.delta1, rtol=1e-5)
+
+
+def test_cli_end_to_end(nyu_val_root, torch_ckpt, tmp_path, capsys):
+    """The argparse surface mirrors the reference CLI (utils.py:12-34)."""
+    ckpt_path, _ = torch_ckpt
+    from fastdepth_tpu.cli import evaluate as cli
+
+    data_root = os.path.dirname(os.path.dirname(nyu_val_root))
+    data_name = os.path.basename(os.path.dirname(nyu_val_root))
+    # --data is gated to nyudepthv2 like the reference; rename via symlink
+    link = tmp_path / "nyudepthv2"
+    os.symlink(os.path.dirname(nyu_val_root), link)
+    csv_path = tmp_path / "out.csv"
+    result = cli.main([
+        "--evaluate", ckpt_path,
+        "--data-root", str(tmp_path),
+        "--batch-size", "2",
+        "--print-freq", "2",
+        "--no-images",
+        "--csv", str(csv_path),
+    ])
+    out = capsys.readouterr().out
+    assert "RMSE=" in out and "Delta1=" in out
+    assert result.rmse > 0
+    assert csv_path.exists()
+    header = csv_path.read_text().splitlines()[0]
+    assert header.split(",") == [
+        "rmse", "mae", "delta1", "absrel", "lg10", "mse", "delta2", "delta3",
+        "data_time", "gpu_time",
+    ]

@@ -1,0 +1,138 @@
+"""Training subsystem tests: masked L1, SGD step semantics vs torch,
+BN stat updates, and mesh data-parallel == single-device equivalence."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from fastdepth_tpu.config import ModelConfig, TrainConfig
+from fastdepth_tpu.models import build
+from fastdepth_tpu.train import Trainer, masked_l1_loss, sgd_init
+from fastdepth_tpu.train.trainer import make_train_step, step_lr
+
+TINY_ENC = (4, 6, 8, 10, 12, 14, 16, 16, 16, 16, 16, 16, 20, 24)
+TINY_DEC_ADD = (18, 14, 10, 6, 4)
+CFG = ModelConfig(encoder_channels=TINY_ENC, decoder_channels=TINY_DEC_ADD)
+
+
+def _data(rng, n=4, hw=32):
+    rgb = rng.rand(n, hw, hw, 3).astype(np.float32)
+    depth = (rng.rand(n, hw, hw, 1) * 5 + 0.5).astype(np.float32)
+    depth[0, :4, :4, 0] = 0.0  # holes must be masked
+    return jnp.asarray(rgb), jnp.asarray(depth)
+
+
+def test_masked_l1_ignores_invalid(rng):
+    pred = jnp.ones((1, 4, 4, 1)) * 2.0
+    tgt = jnp.zeros((1, 4, 4, 1)).at[0, 0, 0, 0].set(3.0)
+    # only one valid pixel: |2 - 3| = 1
+    np.testing.assert_allclose(float(masked_l1_loss(pred, tgt)), 1.0)
+
+
+def test_sgd_momentum_matches_torch(rng):
+    """Our SGD update == torch.optim.SGD(momentum, weight_decay) on a
+    conv weight."""
+    w0 = rng.randn(3, 3, 2, 4).astype(np.float32)
+    g = rng.randn(3, 3, 2, 4).astype(np.float32)
+    lr, mom, wd = 0.1, 0.9, 1e-2
+
+    wt = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    opt = torch.optim.SGD([wt], lr=lr, momentum=mom, weight_decay=wd)
+    for _ in range(3):
+        opt.zero_grad()
+        wt.grad = torch.from_numpy(g.copy())
+        opt.step()
+
+    # replicate with our update rule
+    p = jnp.asarray(w0)
+    m = jnp.zeros_like(p)
+    for _ in range(3):
+        gd = jnp.asarray(g) + wd * p
+        m = mom * m + gd
+        p = p - lr * m
+    np.testing.assert_allclose(wt.detach().numpy(), np.asarray(p), atol=1e-6)
+
+
+def test_train_step_decreases_loss(rng):
+    model = build(CFG)
+    params = model.init(jax.random.PRNGKey(0))
+    tc = TrainConfig(lr=0.01, momentum=0.9, weight_decay=0.0)
+    step = jax.jit(make_train_step(model, tc))
+    state = sgd_init(params)
+    rgb, depth = _data(rng)
+    losses = []
+    for _ in range(8):
+        state, loss = step(state, rgb, depth, jnp.float32(tc.lr))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+
+def test_train_step_updates_bn_stats(rng):
+    model = build(CFG)
+    params = model.init(jax.random.PRNGKey(0))
+    tc = TrainConfig(weight_decay=0.0)
+    step = jax.jit(make_train_step(model, tc))
+    state = sgd_init(params)
+    rgb, depth = _data(rng)
+    before = np.asarray(params["encoder"]["conv0"]["bn"]["mean"])
+    state, _ = step(state, rgb, depth, jnp.float32(0.01))
+    after = np.asarray(state.params["encoder"]["conv0"]["bn"]["mean"])
+    assert not np.allclose(before, after)
+
+
+def test_mesh_training_matches_single_device(rng):
+    """One step data-parallel over 8 CPU devices == one step on one
+    device (XLA psum == the single-device batch gradient).
+
+    f32 comparisons are confounded by reduction-order noise under BN
+    cancellation, so loss is checked here in f32 and the gradient
+    equivalence is proven in f64 in a subprocess (x64 is a global flag)."""
+    import subprocess
+    import sys
+
+    from fastdepth_tpu.parallel import make_mesh
+
+    model = build(CFG)
+    params = model.init(jax.random.PRNGKey(1))
+    tc = TrainConfig(lr=0.05, weight_decay=1e-4)
+    rgb, depth = _data(rng, n=8)
+
+    # independent param copies: the jitted step donates its state buffers
+    copy = lambda t: jax.tree.map(jnp.array, t)
+    t_single = Trainer(model, copy(params), tc, mesh=None)
+    t_single.state, loss_s = t_single._step(
+        t_single.state, rgb, depth, jnp.float32(0.05)
+    )
+
+    mesh = make_mesh(8)
+    t_mesh = Trainer(model, copy(params), tc, mesh=mesh)
+    from fastdepth_tpu.parallel.mesh import put_sharded
+
+    t_mesh.state, loss_m = t_mesh._step(
+        t_mesh.state, put_sharded(rgb, mesh), put_sharded(depth, mesh), jnp.float32(0.05)
+    )
+    np.testing.assert_allclose(float(loss_s), float(loss_m), rtol=1e-5)
+    w_s = np.asarray(t_single.state.params["encoder"]["conv0"]["w"])
+    w_m = np.asarray(t_mesh.state.params["encoder"]["conv0"]["w"])
+    # f32: identical up to BN-amplified summation-order noise
+    np.testing.assert_allclose(w_s, w_m, atol=2e-2)
+
+    import os
+
+    env = dict(os.environ)
+    env["JAX_ENABLE_X64"] = "1"
+    proc = subprocess.run(
+        [sys.executable, __file__.replace("test_train.py", "mesh_equiv_f64.py")],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert "MESH_EQUIV_OK" in proc.stdout, proc.stdout + proc.stderr
+
+
+def test_step_lr_schedule():
+    tc = TrainConfig(lr=0.01, lr_decay_step=5, lr_decay_gamma=0.2)
+    assert step_lr(tc, 0) == 0.01
+    assert abs(step_lr(tc, 5) - 0.002) < 1e-12
+    assert abs(step_lr(tc, 10) - 0.0004) < 1e-12
