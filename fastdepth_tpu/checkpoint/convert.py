@@ -74,9 +74,38 @@ def load_torch_checkpoint(path: str):
     Handles both the dict envelope and a bare pickled module
     (reference main.py:49-57)."""
     import torch
+    import torch.nn as nn
 
     _install_unpickle_stubs()
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    # Unknown pickled classes (renamed forks, user subclasses) are stubbed
+    # on demand: nn.Module unpickling never calls __init__, so an empty
+    # nn.Module subclass under the right module path always suffices.
+    for _ in range(64):
+        try:
+            ckpt = torch.load(path, map_location="cpu", weights_only=False)
+            break
+        except (ModuleNotFoundError, AttributeError) as e:
+            if isinstance(e, ModuleNotFoundError):
+                name = e.name
+                mod = types.ModuleType(name)
+                sys.modules[name] = mod
+                # make parent packages resolve too
+                if "." in name:
+                    parent = name.rsplit(".", 1)[0]
+                    if parent in sys.modules:
+                        setattr(sys.modules[parent], name.rsplit(".", 1)[1], mod)
+            else:
+                msg = str(e)
+                # "Can't get attribute 'X' on <module 'm' ...>"
+                import re
+
+                m = re.search(r"attribute '(\w+)' on <module '([\w\.]+)'", msg)
+                if not m:
+                    raise
+                cls_name, mod_name = m.group(1), m.group(2)
+                setattr(sys.modules[mod_name], cls_name, type(cls_name, (nn.Module,), {}))
+    else:  # pragma: no cover
+        raise RuntimeError(f"could not stub checkpoint classes for {path}")
     epoch, best_result = 0, None
     if isinstance(ckpt, dict) and "model" in ckpt:
         epoch = ckpt.get("epoch", 0)
