@@ -1,0 +1,59 @@
+"""FastDepth forward with the Pallas-fused decoder.
+
+Inference fast path: encoder runs through XLA's conv stack (MXU-friendly
+already); each decoder level — the part XLA leaves as separate dw-conv /
+pw-conv / broadcast / add HLOs — runs as ONE Pallas kernel
+(ops/pallas/fused_decoder.py).  Requires BN-folded params
+(Model.fold / layers.tree_fold).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+
+from fastdepth_tpu.config import ModelConfig
+from fastdepth_tpu.models import mobilenet as MN
+from fastdepth_tpu.ops.pallas.fused_decoder import (
+    fused_decoder_stage,
+    fused_pointwise_head,
+)
+
+Array = jax.Array
+
+_SKIP_TAPS = (1, 3, 5)
+
+
+def apply_fastdepth_fused(
+    params: Dict,
+    x: Array,
+    cfg: ModelConfig,
+    *,
+    interpret: bool = False,
+) -> Array:
+    """Fused-decoder forward for skip='add' (the flagship).  Params must
+    be folded ({'w','b'} leaves).  Matches apply_fastdepth numerics
+    (tested per-pixel in tests/test_pallas.py)."""
+    if cfg.skip != "add" or not cfg.decoder_depthwise or cfg.decoder_kernel != 5:
+        raise ValueError(
+            "fused path supports the nnconv5dw skip-add family; got "
+            f"decoder={cfg.decoder!r} skip={cfg.skip!r}"
+        )
+    feats, tapped = MN.apply_encoder(
+        params["encoder"], x, relu6=cfg.encoder_relu6, taps=_SKIP_TAPS,
+    )
+    dec = params["decoder"]
+    y = feats
+    skips = {2: tapped[5], 3: tapped[3], 4: tapped[1]}
+    for i in range(1, 6):
+        p = dec[f"decode_conv{i}"]
+        y = fused_decoder_stage(
+            y,
+            p["dw"]["w"], p["dw"]["b"],
+            p["pw"]["w"], p["pw"]["b"],
+            skip=skips.get(i),
+            interpret=interpret,
+        )
+    head = dec["decode_conv6"]["pw"]
+    return fused_pointwise_head(y, head["w"], head["b"], interpret=interpret)

@@ -1,0 +1,159 @@
+"""Pallas TPU kernel: fused FastDepth decoder stage.
+
+One kernel invocation fuses the whole NNConv5(dw) decoder level
+(reference models.py:683-698 + the interleaved F.interpolate at
+models.py:720-729, BASELINE.json north star):
+
+    dw5x5 conv (+folded-BN bias) -> ReLU -> pw1x1 (+bias) -> ReLU
+        -> nearest x2 upsample -> [+ skip]
+
+Rationale (pallas_guide.md): the 5x5 depthwise conv has no contraction
+dimension, so it is VPU work and MXU-starved; run it as 25 shifted
+multiply-adds out of a VMEM-resident halo-padded copy of the activation,
+feed the result straight into the pointwise matmul on the MXU, and do
+the upsample broadcast + skip-add in-register — the intermediate
+(H, W, C) tensors never round-trip to HBM.  Grid = batch; one batch
+element's full stage fits VMEM for every FastDepth level at 224x224
+(largest: stage 5, ~6 MB of operands).
+
+BatchNorm must be pre-folded (ops.fold_bn) — kernels take conv+bias.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+_PAD = 2  # (5 - 1) // 2
+
+
+def _stage_kernel(x_ref, dww_ref, dwb_ref, pww_ref, pwb_ref, skip_ref,
+                  out_ref, pad_ref, *, H, W, C, Cout, has_skip):
+    # halo-padded activation in VMEM
+    pad_ref[:] = jnp.zeros_like(pad_ref)
+    pad_ref[_PAD:H + _PAD, _PAD:W + _PAD, :] = x_ref[0].astype(jnp.float32)
+
+    # dw5x5 as 25 shifted VPU multiply-adds
+    acc = jnp.zeros((H, W, C), jnp.float32)
+    for dh in range(5):
+        for dw in range(5):
+            acc += pad_ref[dh:dh + H, dw:dw + W, :] * dww_ref[dh, dw, :].astype(jnp.float32)
+    acc = jnp.maximum(acc + dwb_ref[:].astype(jnp.float32), 0.0)
+
+    # pw1x1 on the MXU: (H*W, C) @ (C, Cout)
+    y = jnp.dot(
+        acc.reshape(H * W, C), pww_ref[:].astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    y = jnp.maximum(y + pwb_ref[:].astype(jnp.float32), 0.0).reshape(H, W, Cout)
+
+    # nearest x2 upsample in-register (broadcast + reshape)
+    up = jnp.broadcast_to(y[:, None, :, None, :], (H, 2, W, 2, Cout))
+    up = up.reshape(2 * H, 2 * W, Cout)
+    if has_skip:
+        up = up + skip_ref[0].astype(jnp.float32)
+    out_ref[0] = up.astype(out_ref.dtype)
+
+
+def fused_decoder_stage(
+    x: Array,
+    dw_w: Array,     # (5, 5, 1, C) HWIO or (5, 5, C)
+    dw_b: Array,     # (C,)
+    pw_w: Array,     # (1, 1, C, Cout) HWIO or (C, Cout)
+    pw_b: Array,     # (Cout,)
+    skip: Optional[Array] = None,   # (N, 2H, 2W, Cout)
+    *,
+    interpret: bool = False,
+) -> Array:
+    """Fused dw5x5+ReLU+pw1x1+ReLU+up2x(+skip) for one decoder level."""
+    N, H, W, C = x.shape
+    if dw_w.ndim == 4:
+        dw_w = dw_w.reshape(5, 5, C)
+    if pw_w.ndim == 4:
+        pw_w = pw_w.reshape(pw_w.shape[2], pw_w.shape[3])
+    Cout = pw_w.shape[1]
+    has_skip = skip is not None
+
+    kernel = functools.partial(
+        _stage_kernel, H=H, W=W, C=C, Cout=Cout, has_skip=has_skip,
+    )
+
+    in_specs = [
+        pl.BlockSpec((1, H, W, C), lambda n: (n, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # dw_w
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # dw_b
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # pw_w
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # pw_b
+    ]
+    args = [x, dw_w, dw_b, pw_w, pw_b]
+    if has_skip:
+        in_specs.append(
+            pl.BlockSpec((1, 2 * H, 2 * W, Cout), lambda n: (n, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(skip)
+    else:
+        # dummy operand keeps the kernel signature uniform
+        in_specs.append(pl.BlockSpec((1, 1, 1, 1), lambda n: (0, 0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(jnp.zeros((1, 1, 1, 1), x.dtype))
+
+    flops = N * (H * W * C * 25 * 2 + H * W * C * Cout * 2)
+    return pl.pallas_call(
+        kernel,
+        grid=(N,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 2 * H, 2 * W, Cout), lambda n: (n, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, 2 * H, 2 * W, Cout), x.dtype),
+        scratch_shapes=[pltpu.VMEM((H + 2 * _PAD, W + 2 * _PAD, C), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=x.size * x.dtype.itemsize * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+def fused_pointwise_head(
+    x: Array,
+    pw_w: Array,   # (1, 1, C, 1) or (C, 1)
+    pw_b: Array,   # (1,)
+    *,
+    interpret: bool = False,
+) -> Array:
+    """Final pointwise(C -> 1)+ReLU head (reference models.py:698,731)."""
+    N, H, W, C = x.shape
+    if pw_w.ndim == 4:
+        pw_w = pw_w.reshape(C, 1)
+
+    def kernel(x_ref, w_ref, b_ref, out_ref):
+        y = jnp.dot(
+            x_ref[0].reshape(H * W, C).astype(jnp.float32),
+            w_ref[:].astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        y = jnp.maximum(y + b_ref[:].astype(jnp.float32), 0.0)
+        out_ref[0] = y.reshape(H, W, 1).astype(out_ref.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(N,),
+        in_specs=[
+            pl.BlockSpec((1, H, W, C), lambda n: (n, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, H, W, 1), lambda n: (n, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, H, W, 1), x.dtype),
+        interpret=interpret,
+    )(x, pw_w, pw_b)

@@ -1,0 +1,73 @@
+"""Pallas fused-decoder kernel parity (interpret mode on CPU; the same
+kernels compile for TPU via Mosaic)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fastdepth_tpu.config import ModelConfig
+from fastdepth_tpu.models import build
+from fastdepth_tpu.models.fused import apply_fastdepth_fused
+from fastdepth_tpu.ops import blocks as B
+from fastdepth_tpu.ops.pallas.fused_decoder import (
+    fused_decoder_stage,
+    fused_pointwise_head,
+)
+
+TINY_ENC = (4, 6, 8, 10, 12, 14, 16, 16, 16, 16, 16, 16, 20, 24)
+TINY_DEC = (18, 14, 10, 6, 4)
+
+
+def _reference_stage(x, dw_w, dw_b, pw_w, pw_b, skip=None):
+    y = B.relu(B.depthwise_conv2d(x, dw_w, bias=dw_b))
+    y = B.relu(B.conv2d(y, pw_w, bias=pw_b))
+    y = B.upsample_nearest2x(y)
+    if skip is not None:
+        y = y + skip
+    return y
+
+
+@pytest.mark.parametrize("has_skip", [False, True])
+def test_fused_stage_matches_unfused(rng, has_skip):
+    N, H, W, C, Cout = 2, 7, 7, 12, 6
+    x = jnp.asarray(rng.randn(N, H, W, C).astype(np.float32))
+    dw_w = jnp.asarray(rng.randn(5, 5, 1, C).astype(np.float32) * 0.2)
+    dw_b = jnp.asarray(rng.randn(C).astype(np.float32) * 0.1)
+    pw_w = jnp.asarray(rng.randn(1, 1, C, Cout).astype(np.float32) * 0.2)
+    pw_b = jnp.asarray(rng.randn(Cout).astype(np.float32) * 0.1)
+    skip = (
+        jnp.asarray(rng.randn(N, 2 * H, 2 * W, Cout).astype(np.float32))
+        if has_skip else None
+    )
+    ref = _reference_stage(x, dw_w, dw_b, pw_w, pw_b, skip)
+    got = fused_decoder_stage(x, dw_w, dw_b, pw_w, pw_b, skip, interpret=True)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-4)
+
+
+def test_fused_head_matches_unfused(rng):
+    N, H, W, C = 2, 6, 6, 8
+    x = jnp.asarray(rng.randn(N, H, W, C).astype(np.float32))
+    w = jnp.asarray(rng.randn(1, 1, C, 1).astype(np.float32))
+    b = jnp.asarray(rng.randn(1).astype(np.float32))
+    ref = B.relu(B.conv2d(x, w, bias=b))
+    got = fused_pointwise_head(x, w, b, interpret=True)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-5)
+
+
+def test_fused_model_matches_reference_forward(rng):
+    cfg = ModelConfig(encoder_channels=TINY_ENC, decoder_channels=TINY_DEC)
+    model = build(cfg)
+    params = model.fold(model.init(jax.random.PRNGKey(0)))
+    x = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    ref = model.apply(params, x)
+    got = apply_fastdepth_fused(params, x, cfg, interpret=True)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-4)
+
+
+def test_fused_rejects_unsupported_configs():
+    cfg = ModelConfig(decoder="nnconv3dw", skip=None,
+                      encoder_channels=TINY_ENC, decoder_channels=TINY_DEC)
+    with pytest.raises(ValueError):
+        apply_fastdepth_fused({}, jnp.zeros((1, 64, 64, 3)), cfg)
