@@ -34,8 +34,10 @@ OUTPUT_SIZE = (224, 224)  # nyu.py:11
 def h5_loader(path: str) -> Tuple[np.ndarray, np.ndarray]:
     import h5py
 
+    from fastdepth_tpu.data import native
+
     with h5py.File(path, "r") as f:
-        rgb = np.transpose(np.array(f["rgb"]), (1, 2, 0))
+        rgb = native.chw_to_hwc_u8(np.asarray(f["rgb"], np.uint8))
         depth = np.array(f["depth"])
     return rgb, depth
 
@@ -108,6 +110,9 @@ class NYUDataset:
                 rgb, depth, sample, color_jitter=self.color_jitter, rng=self._rng
             )
         else:
-            rgb_np = np.asarray(self.val_pipeline(rgb), np.float32) / 255.0
-            depth_np = np.asarray(self.val_pipeline(depth), np.float32)
+            from fastdepth_tpu.data import native
+
+            pipe = self.val_pipeline
+            rgb_np = native.gather_rgb_f32(rgb, pipe.rows, pipe.cols)
+            depth_np = native.gather_depth_f32(depth, pipe.rows, pipe.cols)
         return rgb_np, depth_np[..., None]
