@@ -1,0 +1,62 @@
+"""Native .npz checkpoint save/restore round-trip (SURVEY.md §5
+'Checkpoint / resume': the rebuild adds the save path the reference
+release lacks)."""
+
+import numpy as np
+
+import jax
+
+from fastdepth_tpu.checkpoint.io import (
+    flatten_tree,
+    load_checkpoint,
+    save_checkpoint,
+    unflatten_tree,
+)
+from fastdepth_tpu.config import ModelConfig
+from fastdepth_tpu.models import build
+
+TINY_ENC = (4, 6, 8, 10, 12, 14, 16, 16, 16, 16, 16, 16, 20, 24)
+TINY_DEC = (18, 14, 10, 6, 4)
+
+
+def test_flatten_unflatten_roundtrip(rng):
+    tree = {"a": {"b": rng.randn(3), "c": {"d": rng.randn(2, 2)}}, "e": rng.randn(1)}
+    flat = flatten_tree(tree)
+    assert set(flat) == {"a/b", "a/c/d", "e"}
+    back = unflatten_tree(flat)
+    np.testing.assert_array_equal(tree["a"]["c"]["d"], back["a"]["c"]["d"])
+
+
+def test_save_load_checkpoint_roundtrip(tmp_path):
+    cfg = ModelConfig(encoder_channels=TINY_ENC, decoder_channels=TINY_DEC)
+    model = build(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(
+        path, params, cfg, epoch=3,
+        best_result={"rmse": 0.6, "delta1": 0.77},
+        extra={"note": "test"},
+    )
+    params2, cfg2, meta = load_checkpoint(path)
+    assert cfg2 == cfg
+    assert meta["epoch"] == 3
+    assert meta["best_result"]["delta1"] == 0.77
+    w1 = np.asarray(params["encoder"]["conv0"]["w"])
+    np.testing.assert_array_equal(w1, params2["encoder"]["conv0"]["w"])
+
+
+def test_loaded_checkpoint_runs(tmp_path, rng):
+    import jax.numpy as jnp
+
+    from fastdepth_tpu.checkpoint.io import numpy_to_jax
+
+    cfg = ModelConfig(encoder_channels=TINY_ENC, decoder_channels=TINY_DEC)
+    model = build(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, params, cfg)
+    params2, cfg2, _ = load_checkpoint(path)
+    x = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    y1 = model.apply(params, x)
+    y2 = build(cfg2).apply(numpy_to_jax(params2), x)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
