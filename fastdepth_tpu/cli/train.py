@@ -1,0 +1,148 @@
+"""Training CLI — the full train/validate/checkpoint cycle the reference
+release dropped (its main.py keeps only --evaluate, main.py:45-60; CSV
+fieldnames and best-result tracking at main.py:20-24 define the harness
+semantics rebuilt here; recipe per BASELINE.json config #5).
+
+Usage:
+    python -m fastdepth_tpu.cli.train --data-root ../data [--epochs 20]
+        [--pretrained-encoder imagenet.npz|model_best.pth.tar]
+        [--arch mobilenet-nnconv5dw-skipadd] [--mesh-devices N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+import time
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="FastDepth-TPU training")
+    p.add_argument("--data", default="nyudepthv2", choices=["nyudepthv2"])
+    p.add_argument("--data-root", default=os.path.join("..", "data"))
+    p.add_argument("--arch", default="mobilenet-nnconv5dw-skipadd")
+    p.add_argument("--pretrained-encoder", default=None,
+                   help="ImageNet MobileNet ckpt (torch .pth.tar or .npz)")
+    p.add_argument("--epochs", type=int, default=20)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--weight-decay", type=float, default=1e-4)
+    p.add_argument("--lr-decay-step", type=int, default=5)
+    p.add_argument("--lr-decay-gamma", type=float, default=0.2)
+    p.add_argument("-j", "--workers", type=int, default=8)
+    p.add_argument("--print-freq", type=int, default=50)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mesh-devices", type=int, default=None)
+    p.add_argument("--output-dir", default="results")
+    p.add_argument("--eval-batch-size", type=int, default=8)
+    return p.parse_args(argv)
+
+
+def load_pretrained_encoder(path: str):
+    """ImageNet MobileNet checkpoint -> encoder param tree
+    (reference models.py:659-670 pretrained=True path)."""
+    from fastdepth_tpu.checkpoint.convert import (
+        convert_imagenet_mobilenet,
+        load_torch_checkpoint,
+    )
+    from fastdepth_tpu.checkpoint.io import load_checkpoint
+
+    if path.endswith(".npz"):
+        params, _, _ = load_checkpoint(path)
+        return params.get("encoder", params)
+    sd, kind, _, _ = load_torch_checkpoint(path)
+    enc, _, _ = convert_imagenet_mobilenet(sd)
+    return enc
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from fastdepth_tpu.checkpoint.io import numpy_to_jax, save_checkpoint
+    from fastdepth_tpu.config import TrainConfig
+    from fastdepth_tpu.data import BatchLoader, NYUDataset
+    from fastdepth_tpu.engine import Evaluator, validate
+    from fastdepth_tpu.metrics import Result
+    from fastdepth_tpu.models import from_name
+    from fastdepth_tpu.parallel import make_mesh
+    from fastdepth_tpu.train import Trainer
+
+    tc = TrainConfig(
+        lr=args.lr, momentum=args.momentum, weight_decay=args.weight_decay,
+        epochs=args.epochs, batch_size=args.batch_size,
+        lr_decay_step=args.lr_decay_step, lr_decay_gamma=args.lr_decay_gamma,
+        seed=args.seed,
+    )
+    model = from_name(args.arch)
+    params = model.init(jax.random.PRNGKey(args.seed))
+    if args.pretrained_encoder:
+        print(f"=> loading pretrained encoder '{args.pretrained_encoder}'")
+        params = dict(params, encoder=numpy_to_jax(
+            load_pretrained_encoder(args.pretrained_encoder)))
+
+    print("=> creating data loaders...")
+    root = os.path.join(args.data_root, args.data)
+    train_ds = NYUDataset(os.path.join(root, "train"), split="train", seed=args.seed)
+    val_ds = NYUDataset(os.path.join(root, "val"), split="val")
+    train_loader = BatchLoader(
+        train_ds, batch_size=args.batch_size, shuffle=True,
+        num_workers=args.workers, drop_last=True, pad_last=False, seed=args.seed,
+    )
+    val_loader = BatchLoader(val_ds, batch_size=args.eval_batch_size,
+                             num_workers=args.workers, pad_last=True)
+    print(f"=> {len(train_ds)} train / {len(val_ds)} val images")
+
+    mesh = make_mesh(args.mesh_devices) if args.mesh_devices else None
+    trainer = Trainer(model, params, tc, mesh=mesh)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    train_csv = os.path.join(args.output_dir, "train.csv")
+    test_csv = os.path.join(args.output_dir, "test.csv")
+    best = Result().set_to_worst()
+    best_epoch = -1
+
+    for epoch in range(args.epochs):
+        t0 = time.time()
+        loss = trainer.run_epoch(train_loader, epoch, print_freq=args.print_freq)
+        print(f"=> epoch {epoch}: train loss {loss:.4f} ({time.time() - t0:.1f}s)")
+        with open(train_csv, "a", newline="") as f:
+            w = csv.writer(f)
+            if f.tell() == 0:
+                w.writerow(["epoch", "loss"])
+            w.writerow([epoch, loss])
+
+        evaluator = Evaluator(model, trainer.state.params,
+                              batch_size=args.eval_batch_size, mesh=mesh)
+        result = validate(
+            val_loader, evaluator, epoch=epoch, print_freq=args.print_freq,
+            output_dir=args.output_dir, write_to_file=True, csv_path=test_csv,
+        )
+        # best-epoch tracking by RMSE (reference main.py:20-24 semantics)
+        if result.rmse < best.rmse:
+            best = result
+            best_epoch = epoch
+            save_checkpoint(
+                os.path.join(args.output_dir, "model_best.npz"),
+                trainer.state.params, model.config, epoch=epoch,
+                best_result={"rmse": best.rmse, "delta1": best.delta1,
+                             "mae": best.mae, "absrel": best.absrel},
+            )
+            print(f"=> new best (epoch {epoch}): RMSE={best.rmse:.3f}")
+        save_checkpoint(
+            os.path.join(args.output_dir, "checkpoint.npz"),
+            trainer.state.params, model.config, epoch=epoch,
+        )
+    print(f"=> done; best epoch {best_epoch}: RMSE={best.rmse:.3f} "
+          f"Delta1={best.delta1:.3f}")
+    return best
+
+
+if __name__ == "__main__":
+    main()

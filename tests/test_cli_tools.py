@@ -1,0 +1,146 @@
+"""Deploy runner, visualizer, and training CLI tests (reference
+deploy/tx2_run_tvm.py + deploy/data/visualize.py + the training harness).
+
+The deploy test runs a golden-file round trip against the REFERENCE's own
+deploy/data/rgb.npy input (reference deploy/data/)."""
+
+import os
+
+import h5py
+import numpy as np
+import pytest
+import torch
+
+import jax
+
+from torch_oracle import TorchFastDepth, randomize_bn_stats
+
+TINY_ENC = (4, 6, 8, 10, 12, 14, 16, 16, 16, 16, 16, 16, 20, 24)
+TINY_DEC = (18, 14, 10, 6, 4)
+REF_RGB = "/root/reference/deploy/data/rgb.npy"
+
+
+@pytest.fixture(scope="module")
+def tiny_ckpt(tmp_path_factory):
+    gen = torch.Generator().manual_seed(0)
+    tm = TorchFastDepth(TINY_ENC, TINY_DEC, skip="add").eval()
+    randomize_bn_stats(tm, gen)
+    path = tmp_path_factory.mktemp("ck") / "m.pth.tar"
+    torch.save({"epoch": 1, "best_result": None, "model": tm}, path)
+    return str(path)
+
+
+@pytest.mark.skipif(not os.path.exists(REF_RGB), reason="reference golden data absent")
+def test_deploy_runner_golden_roundtrip(tiny_ckpt, tmp_path, capsys):
+    from fastdepth_tpu.cli import deploy
+
+    out_fp = str(tmp_path / "pred.npy")
+    deploy.main([
+        "--model", tiny_ckpt,
+        "--input-fp", REF_RGB,
+        "--output-fp", out_fp,
+        "--warmup", "1", "--run", "3",
+        "--randomized-input-timing",
+    ])
+    pred = np.load(out_fp)
+    assert pred.shape == (1, 1, 224, 224)  # NCHW like the reference's pred.npy
+    assert np.all(np.isfinite(pred)) and pred.min() >= 0
+    out = capsys.readouterr().out
+    assert "[timed]" in out and "[randomized]" in out
+
+
+def test_deploy_input_layouts(tmp_path):
+    from fastdepth_tpu.cli.deploy import load_input
+
+    hwc = np.random.rand(16, 16, 3).astype(np.float32)
+    chw = np.transpose(hwc, (2, 0, 1))
+    p1, p2 = str(tmp_path / "a.npy"), str(tmp_path / "b.npy")
+    np.save(p1, hwc)
+    np.save(p2, chw[None])
+    np.testing.assert_array_equal(load_input(p1), load_input(p2))
+
+
+def test_visualizer_writes_pngs(tmp_path):
+    from fastdepth_tpu.cli import visualize
+
+    rgb = np.random.rand(20, 20, 3).astype(np.float32)
+    depth = np.random.rand(20, 20).astype(np.float32) + 0.5
+    np.save(tmp_path / "rgb.npy", rgb)
+    np.save(tmp_path / "depth.npy", depth)
+    visualize.main([
+        "--rgb", str(tmp_path / "rgb.npy"),
+        "--depth", str(tmp_path / "depth.npy"),
+        "--out-dir", str(tmp_path / "out"),
+    ])
+    assert (tmp_path / "out" / "rgb.png").exists()
+    assert (tmp_path / "out" / "depth.png").exists()
+
+
+def _make_nyu_tree(root, rng, n=4):
+    d = os.path.join(root, "scene_x")
+    os.makedirs(d, exist_ok=True)
+    for i in range(2, 2 + n):
+        with h5py.File(os.path.join(d, f"{i:05d}.h5"), "w") as f:
+            f["rgb"] = (rng.rand(3, 480, 640) * 255).astype(np.uint8)
+            f["depth"] = (rng.rand(480, 640) * 9 + 0.5).astype(np.float32)
+
+
+def test_train_cli_one_epoch(tmp_path, monkeypatch, rng, capsys):
+    """One full epoch of the training CLI on a synthetic dataset with a
+    tiny model: loss logged, checkpoints written, best tracked."""
+    from fastdepth_tpu.cli import train as train_cli
+    from fastdepth_tpu.config import ModelConfig
+    from fastdepth_tpu.models import build
+
+    root = tmp_path / "nyudepthv2"
+    _make_nyu_tree(str(root / "train"), rng, n=4)
+    _make_nyu_tree(str(root / "val"), rng, n=2)
+
+    tiny_cfg = ModelConfig(encoder_channels=TINY_ENC, decoder_channels=TINY_DEC)
+    monkeypatch.setattr(train_cli, "parse_args", lambda argv=None: _args(tmp_path))
+    import fastdepth_tpu.models as models_pkg
+
+    monkeypatch.setattr(models_pkg, "from_name", lambda name: build(tiny_cfg))
+
+    best = train_cli.main([])
+    out_dir = tmp_path / "out"
+    assert (out_dir / "model_best.npz").exists()
+    assert (out_dir / "checkpoint.npz").exists()
+    assert (out_dir / "train.csv").exists()
+    assert (out_dir / "test.csv").exists()
+    assert best.rmse < float("inf")
+    assert "train loss" in capsys.readouterr().out
+
+
+def _args(tmp_path):
+    import argparse
+
+    return argparse.Namespace(
+        data="nyudepthv2", data_root=str(tmp_path),
+        arch="mobilenet-nnconv5dw-skipadd", pretrained_encoder=None,
+        epochs=1, batch_size=2, lr=0.01, momentum=0.9, weight_decay=1e-4,
+        lr_decay_step=5, lr_decay_gamma=0.2, workers=2, print_freq=1,
+        seed=0, mesh_devices=None, output_dir=str(tmp_path / "out"),
+        eval_batch_size=2,
+    )
+
+
+def test_pretrained_encoder_loading(tmp_path):
+    """ImageNet torch checkpoint -> encoder weights injected into a depth
+    model (reference models.py:659-670)."""
+    from torch_oracle import TorchMobileNetClassifier
+
+    gen = torch.Generator().manual_seed(5)
+    tm = TorchMobileNetClassifier(TINY_ENC, classes=10, pool=2).eval()
+    randomize_bn_stats(tm, gen)
+    # DataParallel-style prefix, like the real ImageNet ckpt
+    # (imagenet/mobilenet.py:72-75)
+    sd = {"module." + k: v for k, v in tm.state_dict().items()}
+    path = str(tmp_path / "imagenet.pth.tar")
+    torch.save({"epoch": 9, "best_prec1": 70.0, "state_dict": sd}, path)
+
+    from fastdepth_tpu.cli.train import load_pretrained_encoder
+
+    enc = load_pretrained_encoder(path)
+    assert enc["conv0"]["w"].shape == (3, 3, 3, TINY_ENC[0])
+    assert enc["conv13"]["pw"]["w"].shape == (1, 1, TINY_ENC[12], TINY_ENC[13])
