@@ -2,28 +2,21 @@
 throughput on one TPU chip.
 
 Protocol mirrors the reference's TVM deploy benchmarking — warmup runs
-then timed repeats (reference deploy/tx2_run_tvm.py:42-53) — with
-``block_until_ready`` timing.  Baseline: TX2 GPU 5.6 ms/frame = 178.6 fps
-(reference README.md:136; BASELINE.md).  Prints ONE JSON line.
+then timed repeats (reference deploy/tx2_run_tvm.py:42-53).  Two numbers
+per config: single-call latency (includes per-call transport round trip,
+which on this tunneled dev chip is ~25-40 ms and NOT model time) and
+pipelined steady-state throughput (back-to-back calls, FIFO device
+queue, one sync at the end — the serving-loop number, used as headline).
+Synchronization is scalar-fetch based because block_until_ready does not
+block on this platform (see engine/benchmark.py).
+
+Baseline: TX2 GPU 5.6 ms/frame = 178.6 fps (reference README.md:136).
+Prints ONE JSON line.
 """
 
 import json
-import time
 
 import numpy as np
-
-
-def _bench_fn(fn, args, warmup=3, repeats=10):
-    import jax
-
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    times = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times))
 
 
 def main():
@@ -35,7 +28,9 @@ def main():
 
     import jax.numpy as jnp
 
+    from fastdepth_tpu.engine.benchmark import time_fn, time_pipelined
     from fastdepth_tpu.models import fastdepth_pruned
+    from fastdepth_tpu.models.fused import apply_fastdepth_fused
 
     model = fastdepth_pruned()
     params32 = model.fold(model.init(jax.random.PRNGKey(0)))
@@ -44,23 +39,31 @@ def main():
     results = {}
     best_fps = 0.0
     best_cfg = None
+
+    def record(tag, batch, fn, params, x, latency_too):
+        nonlocal best_fps, best_cfg
+        try:
+            stats = time_pipelined(fn, (params, x), warmup=3, calls=30)
+        except Exception as e:
+            results[f"{tag}_b{batch}"] = f"error: {type(e).__name__}: {e}"[:120]
+            return
+        fps = batch / stats["mean_s"]
+        results[f"{tag}_b{batch}_fps"] = round(fps, 1)
+        if latency_too:
+            lat = time_fn(fn, (params, x), warmup=2, repeats=10)
+            results[f"{tag}_b{batch}_latency_ms"] = round(lat["median_s"] * 1e3, 3)
+        if fps > best_fps:
+            best_fps = fps
+            best_cfg = f"{tag}_b{batch}"
+
     for dtype, tag in ((jnp.float32, "fp32"), (jnp.bfloat16, "bf16")):
         params = jax.tree.map(lambda a: a.astype(dtype), params32)
         fwd = jax.jit(lambda p, x: model.apply(p, x))
-        for batch in (1, 32, 128):
+        fused = jax.jit(lambda p, x: apply_fastdepth_fused(p, x, model.config))
+        for batch in (1, 128):
             x = jnp.asarray(rng.rand(batch, 224, 224, 3), dtype)
-            try:
-                t = _bench_fn(fwd, (params, x))
-            except Exception as e:  # OOM etc.
-                results[f"{tag}_b{batch}"] = f"error: {type(e).__name__}"
-                continue
-            fps = batch / t
-            results[f"{tag}_b{batch}_fps"] = round(fps, 1)
-            if batch == 1:
-                results[f"{tag}_latency_ms"] = round(t * 1e3, 3)
-            if fps > best_fps:
-                best_fps = fps
-                best_cfg = f"{tag}_b{batch}"
+            record(tag, batch, fwd, params, x, latency_too=(batch == 1))
+            record(tag + "_pallas", batch, fused, params, x, latency_too=(batch == 1))
 
     tx2_gpu_fps = 1000.0 / 5.6  # README.md:136
     print(json.dumps({

@@ -31,6 +31,8 @@ def parse_args(argv=None):
     p.add_argument("--randomized-input-timing", action="store_true",
                    help="also time with fresh random inputs (tx2_run_tvm.py:56-65)")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a jax.profiler device trace to DIR")
     return p.parse_args(argv)
 
 
@@ -77,8 +79,11 @@ def main(argv=None):
     np.save(args.output_fp, np.transpose(pred, (0, 3, 1, 2)))  # NCHW like the reference
     print(f"=> saved prediction to {args.output_fp}")
 
-    stats = time_fn(compiled, (prepared, jnp.asarray(x)),
-                    warmup=args.warmup, repeats=args.run)
+    from fastdepth_tpu.engine.profiler import trace
+
+    with trace(args.profile):
+        stats = time_fn(compiled, (prepared, jnp.asarray(x)),
+                        warmup=args.warmup, repeats=args.run)
     print(f"=> [timed] mean={stats['mean_s'] * 1e3:.3f} ms  "
           f"median={stats['median_s'] * 1e3:.3f} ms  "
           f"({1.0 / stats['median_s']:.1f} fps)")

@@ -1,14 +1,36 @@
 """Benchmark protocol: warmup runs then timed repeats, mirroring the
-reference's TVM ``time_evaluator`` flow (deploy/tx2_run_tvm.py:42-65),
-with proper ``block_until_ready`` device timing."""
+reference's TVM ``time_evaluator`` flow (deploy/tx2_run_tvm.py:42-65).
+
+Synchronization: on some PJRT transports (e.g. the tunneled single-chip
+dev platform used here) ``jax.block_until_ready`` returns before device
+execution finishes, so every timing below synchronizes by fetching a
+host scalar derived from the output — ``float()`` of a device scalar
+cannot complete until the computation has.  ``_sync`` compiles its
+reduction once per output shape to keep recompiles out of timed regions.
+"""
 
 from __future__ import annotations
 
 import time
-from typing import Callable, Dict, Optional, Sequence
+from typing import Callable, Dict, Sequence
 
 import jax
 import numpy as np
+
+_sync_fns: Dict = {}
+
+
+def sync(out) -> float:
+    """Force completion of `out` (array or pytree) by fetching a scalar."""
+    leaf = jax.tree.leaves(out)[0]
+    key = (leaf.shape, str(leaf.dtype))
+    fn = _sync_fns.get(key)
+    if fn is None:
+        import jax.numpy as jnp
+
+        fn = jax.jit(lambda a: jnp.sum(a, dtype=jnp.float32))
+        _sync_fns[key] = fn
+    return float(fn(leaf))
 
 
 def time_fn(
@@ -18,13 +40,14 @@ def time_fn(
     warmup: int = 5,
     repeats: int = 20,
 ) -> Dict[str, float]:
-    """Returns {'mean_s', 'median_s', 'std_s', 'min_s'} over repeats."""
+    """Single-call latency: each repeat launches one call and waits for
+    its result (includes per-call host<->device round trip)."""
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        sync(fn(*args))
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        sync(fn(*args))
         times.append(time.perf_counter() - t0)
     arr = np.asarray(times)
     return {
@@ -33,6 +56,28 @@ def time_fn(
         "std_s": float(arr.std()),
         "min_s": float(arr.min()),
     }
+
+
+def time_pipelined(
+    fn: Callable,
+    args,
+    *,
+    warmup: int = 3,
+    calls: int = 30,
+) -> Dict[str, float]:
+    """Steady-state throughput: launch `calls` back-to-back (device
+    executes FIFO), then wait for the last — amortizes dispatch latency
+    the way a serving loop does."""
+    for _ in range(warmup):
+        sync(fn(*args))
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(calls):
+        out = fn(*args)
+    sync(out)
+    total = time.perf_counter() - t0
+    return {"mean_s": total / calls, "median_s": total / calls,
+            "total_s": total, "calls": float(calls)}
 
 
 def time_randomized(
@@ -45,12 +90,12 @@ def time_randomized(
     """Randomized-input timing variant (deploy/tx2_run_tvm.py:56-65):
     fresh inputs each run, so constant-folding can't cheat."""
     for i in range(warmup):
-        jax.block_until_ready(fn(make_input(i)))
+        sync(fn(make_input(i)))
     times = []
     for i in range(repeats):
         x = make_input(warmup + i)
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(x))
+        sync(fn(x))
         times.append(time.perf_counter() - t0)
     arr = np.asarray(times)
     return {
@@ -65,13 +110,13 @@ def throughput_sweep(
     model,
     params,
     *,
-    batch_sizes: Sequence[int] = (1, 8, 32, 64, 128),
+    batch_sizes: Sequence[int] = (1, 32, 128),
     dtype=None,
     image_size=(224, 224),
     warmup: int = 3,
-    repeats: int = 10,
+    calls: int = 30,
 ) -> Dict[str, Dict[str, float]]:
-    """fps per batch size for a model's folded forward pass."""
+    """Amortized fps per batch size for a model's folded forward pass."""
     import jax.numpy as jnp
 
     from fastdepth_tpu.engine.aot import compile_forward
@@ -85,7 +130,7 @@ def throughput_sweep(
             fold_bn=False,  # caller pre-folds; avoid double fold
         )
         x = jnp.asarray(rng.rand(b, *image_size, 3), jnp.float32)
-        stats = time_fn(compiled, (prepared, x), warmup=warmup, repeats=repeats)
-        stats["fps"] = b / stats["median_s"]
+        stats = time_pipelined(compiled, (prepared, x), warmup=warmup, calls=calls)
+        stats["fps"] = b / stats["mean_s"]
         out[str(b)] = stats
     return out

@@ -116,10 +116,10 @@ def validate(
         rgb_d = evaluator.put(rgb)
         depth_d = evaluator.put(depth)
         pred, batch_metrics = evaluator(rgb_d, depth_d)
-        jax.block_until_ready(batch_metrics)
-        gpu_time = time.time() - start
-
+        # host materialization doubles as the device sync: on some PJRT
+        # transports block_until_ready returns early (engine/benchmark.py)
         valid = {k: np.asarray(v)[:count] for k, v in batch_metrics.items()}
+        gpu_time = time.time() - start
         meter.update_batch(valid, gpu_time=gpu_time / count, data_time=data_time / count)
 
         # comparison strip: every 50th of the first 8*50 images
