@@ -37,6 +37,24 @@ def merge_into_row(rgb: np.ndarray, depth_target: np.ndarray,
     ])
 
 
+def merge_into_row_with_gt(rgb: np.ndarray, depth_input: np.ndarray,
+                           depth_target: np.ndarray,
+                           depth_pred: np.ndarray) -> np.ndarray:
+    """[rgb | input depth | gt | pred] strip (utils.py:60-74)."""
+    rgb = 255 * np.squeeze(np.asarray(rgb))
+    din = np.squeeze(np.asarray(depth_input))
+    tgt = np.squeeze(np.asarray(depth_target))
+    pred = np.squeeze(np.asarray(depth_pred))
+    d_min = min(float(din.min()), float(tgt.min()), float(pred.min()))
+    d_max = max(float(din.max()), float(tgt.max()), float(pred.max()))
+    return np.hstack([
+        rgb,
+        colored_depthmap(din, d_min, d_max),
+        colored_depthmap(tgt, d_min, d_max),
+        colored_depthmap(pred, d_min, d_max),
+    ])
+
+
 def add_row(img_merge: np.ndarray, row: np.ndarray) -> np.ndarray:
     return np.vstack([img_merge, row])
 
