@@ -95,6 +95,71 @@ def rotate(img: np.ndarray, angle: float) -> np.ndarray:
     return ndimage.rotate(img, angle, reshape=False, prefilter=False, order=0)
 
 
+class Compose:
+    """Chain transforms (reference transforms.py:173-192)."""
+
+    def __init__(self, transforms):
+        self.transforms = list(transforms)
+
+    def __call__(self, img):
+        for t in self.transforms:
+            img = t(img)
+        return img
+
+
+class Lambda:
+    """User-defined transform (reference transforms.py:470-482)."""
+
+    def __init__(self, fn):
+        self.fn = fn
+
+    def __call__(self, img):
+        return self.fn(img)
+
+
+def to_nhwc_tensor(img: np.ndarray) -> np.ndarray:
+    """HWC/HW float32 output array — the NHWC-world ToTensor.
+
+    The reference's ToTensor transposes HWC->CHW for torch
+    (transforms.py:195-224, note: float cast, NO /255); TPU layout is
+    channels-last so only the float cast remains."""
+    if img.ndim == 2:
+        img = img[..., None]
+    return np.asarray(img, np.float32)
+
+
+def normalize(img: np.ndarray, mean: Sequence[float], std: Sequence[float]) -> np.ndarray:
+    """Per-channel (x - mean) / std (reference transforms.py:227-286;
+    defined-but-unused in the reference NYU pipeline — normalization is
+    the /255 at nyu.py:43,56 — provided for API completeness)."""
+    mean = np.asarray(mean, np.float32)
+    std = np.asarray(std, np.float32)
+    return (np.asarray(img, np.float32) - mean) / std
+
+
+def bottom_crop(img: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
+    """Crop anchored at the bottom edge, centered horizontally
+    (reference transforms.py:407-468; used by the KITTI-era pipeline)."""
+    th, tw = size
+    i = img.shape[0] - th
+    j = int(round((img.shape[1] - tw) / 2.0))
+    return img[i : i + th, j : j + tw]
+
+
+def crop(img: np.ndarray, i: int, j: int, h: int, w: int) -> np.ndarray:
+    """Explicit-rectangle crop (reference transforms.py:580-622)."""
+    return img[i : i + h, j : j + w]
+
+
+def adjust_gamma(img: np.ndarray, gamma: float, gain: float = 1.0) -> np.ndarray:
+    """Power-law transform on uint8 RGB (reference transforms.py:139-170)."""
+    if gamma < 0:
+        raise ValueError("gamma must be non-negative")
+    x = np.asarray(img, np.float32)
+    out = 255.0 * gain * ((x / 255.0) ** gamma)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
 # ---------------------------------------------------------------------------
 # Color jitter (train-time only; reference transforms.py:513-578 applies
 # PIL ImageEnhance ops in random order with random factors).

@@ -124,3 +124,36 @@ def test_center_crop_bankers_rounding():
     # (333 - 304) / 2 = 14.5 -> round() gives 14 (banker's), not 15
     i, j = T.center_crop_offsets(250, 333, 228, 304)
     assert (i, j) == (11, 14)
+
+
+def test_gamma_matches_pil(rng):
+    from PIL import Image
+
+    img = (rng.rand(16, 16, 3) * 255).astype(np.uint8)
+    for gamma in (0.5, 1.0, 2.2):
+        # PIL-free reference formula (reference transforms.py:139-170)
+        ref = np.clip(255.0 * ((img / 255.0) ** gamma), 0, 255).astype(np.uint8)
+        got = T.adjust_gamma(img, gamma)
+        assert np.abs(ref.astype(int) - got.astype(int)).max() <= 1
+
+
+def test_bottom_crop_and_crop(rng):
+    img = rng.rand(10, 12, 3)
+    bc = T.bottom_crop(img, (4, 6))
+    np.testing.assert_array_equal(bc, img[6:10, 3:9])
+    c = T.crop(img, 1, 2, 3, 4)
+    np.testing.assert_array_equal(c, img[1:4, 2:6])
+
+
+def test_compose_lambda_normalize(rng):
+    img = rng.rand(4, 4, 3).astype(np.float32)
+    pipe = T.Compose([T.Lambda(lambda x: x * 2.0)])
+    np.testing.assert_allclose(pipe(img), img * 2.0)
+    out = T.normalize(img, [0.5, 0.5, 0.5], [0.25, 0.25, 0.25])
+    np.testing.assert_allclose(out, (img - 0.5) / 0.25, rtol=1e-6)
+
+
+def test_to_nhwc_tensor(rng):
+    d = rng.rand(4, 4)
+    out = T.to_nhwc_tensor(d)
+    assert out.shape == (4, 4, 1) and out.dtype == np.float32
