@@ -32,7 +32,7 @@ def main():
 
     from fastdepth_tpu.engine.benchmark import time_fn, time_pipelined
     from fastdepth_tpu.models import fastdepth_pruned
-    from fastdepth_tpu.models.fused import apply_fastdepth_fused
+    from fastdepth_tpu.models.fused import apply_fastdepth_fused_chunked
 
     model = fastdepth_pruned()
     params32 = model.fold(model.init(jax.random.PRNGKey(0)))
@@ -78,7 +78,7 @@ def main():
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "420"))
     t_start = __import__("time").time()
     fwd = jax.jit(lambda p, x: model.apply(p, x))
-    fused = jax.jit(lambda p, x: apply_fastdepth_fused(p, x, model.config))
+    fused = jax.jit(lambda p, x: apply_fastdepth_fused_chunked(p, x, model.config))
     by_dtype = {}
     for tag, dtype, use_pallas, batch in CONFIGS:
         if __import__("time").time() - t_start > budget_s and results:

@@ -57,3 +57,31 @@ def apply_fastdepth_fused(
         )
     head = dec["decode_conv6"]["pw"]
     return fused_pointwise_head(y, head["w"], head["b"], interpret=interpret)
+
+
+def apply_fastdepth_fused_chunked(
+    params: Dict,
+    x: Array,
+    cfg: ModelConfig,
+    *,
+    chunk: int = 4,
+    interpret: bool = False,
+) -> Array:
+    """Fused forward for large batches, processed in grid-`chunk` slices
+    via ``lax.map``.
+
+    This sandbox's remote Mosaic compile helper crashes on the fused
+    kernels when the pallas grid exceeds ~4 (b<=4 compiles, b>=8 500s);
+    chunking keeps each kernel launch at a compilable grid while the
+    whole batch stays inside one jit.
+    """
+    import jax.lax as lax
+
+    n = x.shape[0]
+    if n <= chunk:
+        return apply_fastdepth_fused(params, x, cfg, interpret=interpret)
+    if n % chunk != 0:
+        raise ValueError(f"batch {n} not divisible by chunk {chunk}")
+    xs = x.reshape(n // chunk, chunk, *x.shape[1:])
+    ys = lax.map(lambda v: apply_fastdepth_fused(params, v, cfg, interpret=interpret), xs)
+    return ys.reshape(n, *ys.shape[2:])

@@ -71,3 +71,15 @@ def test_fused_rejects_unsupported_configs():
                       encoder_channels=TINY_ENC, decoder_channels=TINY_DEC)
     with pytest.raises(ValueError):
         apply_fastdepth_fused({}, jnp.zeros((1, 64, 64, 3)), cfg)
+
+
+def test_fused_chunked_matches_reference_forward(rng):
+    from fastdepth_tpu.models.fused import apply_fastdepth_fused_chunked
+
+    cfg = ModelConfig(encoder_channels=TINY_ENC, decoder_channels=TINY_DEC)
+    model = build(cfg)
+    params = model.fold(model.init(jax.random.PRNGKey(0)))
+    x = jnp.asarray(rng.rand(8, 64, 64, 3).astype(np.float32))
+    ref = model.apply(params, x)
+    got = apply_fastdepth_fused_chunked(params, x, cfg, chunk=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-4)
