@@ -48,12 +48,60 @@ def compile_forward(
     return compiled, params
 
 
-def serialize_compiled(compiled) -> bytes:
-    """Serialize an AOT executable (cache artifact; best-effort — some
-    backends don't support export)."""
-    from jax._src import compilation_cache  # noqa: F401  (cache warms on compile)
+def save_bundle(
+    path_prefix: str,
+    model: Model,
+    params,
+    *,
+    batch_size: int = 1,
+    image_size: Tuple[int, int] = (224, 224),
+    dtype=jnp.float32,
+    fold_bn: bool = True,
+) -> None:
+    """Write a deploy bundle: ``<prefix>.stablehlo`` (serialized exported
+    function) + ``<prefix>.npz`` (folded params + config).
 
-    return compiled.as_text().encode()  # HLO text as a portable artifact
+    The XLA-native analogue of the reference's TVM artifact set
+    {deploy_lib.o, deploy_graph.json, deploy_param.params}
+    (deploy/tx2_run_tvm.py:13-20): the StableHLO blob is the portable
+    compiled-graph artifact, the npz carries weights + architecture.
+    """
+    from jax import export as jexport
+
+    from fastdepth_tpu.checkpoint.io import save_checkpoint
+
+    if fold_bn:
+        params = model.fold(params)
+    if dtype != jnp.float32:
+        params = jax.tree.map(
+            lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a,
+            params,
+        )
+
+    def forward(p, x):
+        return model.apply(p, x.astype(dtype)).astype(jnp.float32)
+
+    h, w = image_size
+    x_spec = jax.ShapeDtypeStruct((batch_size, h, w, 3), jnp.float32)
+    p_spec = jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params)
+    exported = jexport.export(jax.jit(forward))(p_spec, x_spec)
+    with open(path_prefix + ".stablehlo", "wb") as f:
+        f.write(exported.serialize())
+    save_checkpoint(path_prefix + ".npz", params, model.config,
+                    extra={"bundle": True, "batch_size": batch_size,
+                           "image_size": list(image_size), "dtype": str(dtype.__name__)})
+
+
+def load_bundle(path_prefix: str):
+    """Load a deploy bundle; returns (callable(params, rgb), params, config)."""
+    from jax import export as jexport
+
+    from fastdepth_tpu.checkpoint.io import load_checkpoint, numpy_to_jax
+
+    with open(path_prefix + ".stablehlo", "rb") as f:
+        exported = jexport.deserialize(f.read())
+    params, config, meta = load_checkpoint(path_prefix + ".npz")
+    return exported.call, numpy_to_jax(params), config
 
 
 def flops_estimate(compiled) -> Optional[float]:

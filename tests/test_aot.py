@@ -1,0 +1,39 @@
+"""AOT compile + deploy-bundle round trip (the XLA replacement for the
+reference's TVM artifact flow, deploy/tx2_run_tvm.py:13-26)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from fastdepth_tpu.config import ModelConfig
+from fastdepth_tpu.engine.aot import compile_forward, load_bundle, save_bundle
+from fastdepth_tpu.models import build
+
+TINY_ENC = (4, 6, 8, 10, 12, 14, 16, 16, 16, 16, 16, 16, 20, 24)
+TINY_DEC = (18, 14, 10, 6, 4)
+CFG = ModelConfig(encoder_channels=TINY_ENC, decoder_channels=TINY_DEC)
+
+
+def test_compile_forward_matches_eager(rng):
+    model = build(CFG)
+    params = model.init(jax.random.PRNGKey(0))
+    compiled, prepared = compile_forward(model, params, batch_size=2, image_size=(64, 64))
+    x = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32))
+    got = compiled(prepared, x)
+    ref = model.apply(model.fold(params), x)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-5)
+
+
+def test_bundle_roundtrip(tmp_path, rng):
+    model = build(CFG)
+    params = model.init(jax.random.PRNGKey(1))
+    prefix = str(tmp_path / "bundle")
+    save_bundle(prefix, model, params, batch_size=1, image_size=(64, 64))
+
+    call, loaded_params, config = load_bundle(prefix)
+    assert config == CFG
+    x = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    got = call(loaded_params, x)
+    ref = model.apply(model.fold(params), x)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-5)
