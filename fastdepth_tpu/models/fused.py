@@ -59,6 +59,46 @@ def apply_fastdepth_fused(
     return fused_pointwise_head(y, head["w"], head["b"], interpret=interpret)
 
 
+def apply_fastdepth_mixed(
+    params: Dict,
+    x: Array,
+    cfg: ModelConfig,
+    winners: Dict[int, str],
+    *,
+    interpret: bool = False,
+) -> Array:
+    """Per-stage impl selection from an autotune record
+    (engine/autotune.py): each decoder level runs whichever of {'xla',
+    'pallas'} won on this chip — the deployment analogue of the
+    reference's AutoTVM-tuned per-layer kernels (SURVEY.md C12)."""
+    from fastdepth_tpu.ops import blocks as B
+
+    if cfg.skip != "add" or not cfg.decoder_depthwise or cfg.decoder_kernel != 5:
+        raise ValueError("mixed path supports the nnconv5dw skip-add family")
+    feats, tapped = MN.apply_encoder(
+        params["encoder"], x, relu6=cfg.encoder_relu6, taps=_SKIP_TAPS,
+    )
+    dec = params["decoder"]
+    y = feats
+    skips = {2: tapped[5], 3: tapped[3], 4: tapped[1]}
+    for i in range(1, 6):
+        p = dec[f"decode_conv{i}"]
+        skip = skips.get(i)
+        if winners.get(i, "xla") == "pallas":
+            y = fused_decoder_stage(
+                y, p["dw"]["w"], p["dw"]["b"], p["pw"]["w"], p["pw"]["b"],
+                skip=skip, interpret=interpret,
+            )
+        else:
+            y = B.relu(B.depthwise_conv2d(y, p["dw"]["w"], bias=p["dw"]["b"]))
+            y = B.relu(B.conv2d(y, p["pw"]["w"], bias=p["pw"]["b"]))
+            y = B.upsample_nearest2x(y)
+            if skip is not None:
+                y = y + skip
+    head = dec["decode_conv6"]["pw"]
+    return B.relu(B.conv2d(y, head["w"], bias=head["b"]))
+
+
 def apply_fastdepth_fused_chunked(
     params: Dict,
     x: Array,
