@@ -55,8 +55,13 @@ def apply_fastdepth_fused(
             skip=skips.get(i),
             interpret=interpret,
         )
+    # the 1x1 head runs through XLA: a (H*W, 16) x (16, 1) matmul with a
+    # single-lane output is pathological for Mosaic (this sandbox's
+    # compile helper crashes on it at grid >= 8) and XLA fuses it anyway
+    from fastdepth_tpu.ops import blocks as B
+
     head = dec["decode_conv6"]["pw"]
-    return fused_pointwise_head(y, head["w"], head["b"], interpret=interpret)
+    return B.relu(B.conv2d(y, head["w"], bias=head["b"]))
 
 
 def apply_fastdepth_mixed(
