@@ -104,6 +104,70 @@ def apply_fastdepth_mixed(
     return B.relu(B.conv2d(y, head["w"], bias=head["b"]))
 
 
+def apply_fastdepth_fused_hybrid(
+    params: Dict,
+    x: Array,
+    cfg: ModelConfig,
+    *,
+    tail_chunk: int = 8,
+    interpret: bool = False,
+) -> Array:
+    """Fused forward with per-stage grid limits respected.
+
+    Empirically on this sandbox's Mosaic compile helper, the small-spatial
+    stage kernels (1-3) compile at grid >= 128 while the large-spatial
+    stages (4-5) fail above grid ~8.  So: encoder + stages 1-3 run on the
+    full batch; stages 4-5 + head run under ``lax.map`` in
+    ``tail_chunk``-sized slices, all inside one jit.
+    """
+    import jax.lax as lax
+
+    from fastdepth_tpu.ops import blocks as B
+
+    if cfg.skip != "add" or not cfg.decoder_depthwise or cfg.decoder_kernel != 5:
+        raise ValueError("fused path supports the nnconv5dw skip-add family")
+    n = x.shape[0]
+    feats, tapped = MN.apply_encoder(
+        params["encoder"], x, relu6=cfg.encoder_relu6, taps=_SKIP_TAPS,
+    )
+    dec = params["decoder"]
+
+    y = feats
+    for i in (1, 2, 3):
+        p = dec[f"decode_conv{i}"]
+        skip = {2: tapped[5], 3: tapped[3]}.get(i)
+        y = fused_decoder_stage(
+            y, p["dw"]["w"], p["dw"]["b"], p["pw"]["w"], p["pw"]["b"],
+            skip=skip, interpret=interpret,
+        )
+
+    def tail(args):
+        yc, x1c = args
+        p4 = dec["decode_conv4"]
+        yc = fused_decoder_stage(
+            yc, p4["dw"]["w"], p4["dw"]["b"], p4["pw"]["w"], p4["pw"]["b"],
+            skip=x1c, interpret=interpret,
+        )
+        p5 = dec["decode_conv5"]
+        yc = fused_decoder_stage(
+            yc, p5["dw"]["w"], p5["dw"]["b"], p5["pw"]["w"], p5["pw"]["b"],
+            interpret=interpret,
+        )
+        head = dec["decode_conv6"]["pw"]
+        return B.relu(B.conv2d(yc, head["w"], bias=head["b"]))
+
+    x1 = tapped[1]
+    if n <= tail_chunk:
+        return tail((y, x1))
+    if n % tail_chunk != 0:
+        raise ValueError(f"batch {n} not divisible by tail_chunk {tail_chunk}")
+    k = n // tail_chunk
+    ys = y.reshape(k, tail_chunk, *y.shape[1:])
+    x1s = x1.reshape(k, tail_chunk, *x1.shape[1:])
+    outs = lax.map(tail, (ys, x1s))
+    return outs.reshape(n, *outs.shape[2:])
+
+
 def apply_fastdepth_fused_chunked(
     params: Dict,
     x: Array,

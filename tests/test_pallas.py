@@ -96,3 +96,15 @@ def test_fused_mixed_matches_reference_forward(rng):
     winners = {1: "pallas", 2: "xla", 3: "pallas", 4: "xla", 5: "pallas"}
     got = apply_fastdepth_mixed(params, x, cfg, winners, interpret=True)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-4)
+
+
+def test_fused_hybrid_matches_reference_forward(rng):
+    from fastdepth_tpu.models.fused import apply_fastdepth_fused_hybrid
+
+    cfg = ModelConfig(encoder_channels=TINY_ENC, decoder_channels=TINY_DEC)
+    model = build(cfg)
+    params = model.fold(model.init(jax.random.PRNGKey(0)))
+    x = jnp.asarray(rng.rand(4, 64, 64, 3).astype(np.float32))
+    ref = model.apply(params, x)
+    got = apply_fastdepth_fused_hybrid(params, x, cfg, tail_chunk=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-4)
