@@ -110,16 +110,34 @@ def validate(
     rows_added = 0
     seen = 0
     end = time.time()
-    for rgb, depth, count in loader:
-        data_time = time.time() - end
-        start = time.time()
-        rgb_d = evaluator.put(rgb)
-        depth_d = evaluator.put(depth)
-        pred, batch_metrics = evaluator(rgb_d, depth_d)
+
+    def submitted():
+        """Enqueue each batch's device work (JAX dispatch is async) and
+        yield the in-flight futures."""
+        for rgb, depth, count in loader:
+            t0 = time.time()
+            rgb_d = evaluator.put(rgb)
+            depth_d = evaluator.put(depth)
+            pred, batch_metrics = evaluator(rgb_d, depth_d)
+            yield rgb, depth, count, pred, batch_metrics, t0
+
+    def one_ahead(gen):
+        """Keep one batch in flight: batch k+1's transfer+compute is
+        enqueued before batch k is synced, so the device never idles on
+        host-side metric handling (streaming inference, BASELINE.json
+        config #4)."""
+        prev = next(gen, None)
+        while prev is not None:
+            nxt = next(gen, None)
+            yield prev
+            prev = nxt
+
+    for rgb, depth, count, pred, batch_metrics, t0 in one_ahead(submitted()):
+        data_time = t0 - end
         # host materialization doubles as the device sync: on some PJRT
         # transports block_until_ready returns early (engine/benchmark.py)
         valid = {k: np.asarray(v)[:count] for k, v in batch_metrics.items()}
-        gpu_time = time.time() - start
+        gpu_time = time.time() - t0
         meter.update_batch(valid, gpu_time=gpu_time / count, data_time=data_time / count)
 
         # comparison strip: every 50th of the first 8*50 images

@@ -133,12 +133,15 @@ def apply_fastdepth_fused_hybrid(
     dec = params["decoder"]
 
     y = feats
+    # per-stage images-per-grid-step, sized to VMEM (f32 halo scratch +
+    # double-buffered in/out/skip blocks)
+    block_batches = {1: 8, 2: 4, 3: 2}
     for i in (1, 2, 3):
         p = dec[f"decode_conv{i}"]
         skip = {2: tapped[5], 3: tapped[3]}.get(i)
         y = fused_decoder_stage(
             y, p["dw"]["w"], p["dw"]["b"], p["pw"]["w"], p["pw"]["b"],
-            skip=skip, interpret=interpret,
+            skip=skip, block_batch=block_batches[i], interpret=interpret,
         )
 
     def tail(args):

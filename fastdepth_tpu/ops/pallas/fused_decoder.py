@@ -35,31 +35,32 @@ _PAD = 2  # (5 - 1) // 2
 
 
 def _stage_kernel(x_ref, dww_ref, dwb_ref, pww_ref, pwb_ref, skip_ref,
-                  out_ref, pad_ref, *, H, W, C, Cout, has_skip):
-    # halo-padded activation in VMEM
+                  out_ref, pad_ref, *, B, H, W, C, Cout, has_skip):
+    # halo-padded activations in VMEM (B images per grid step)
     pad_ref[:] = jnp.zeros_like(pad_ref)
-    pad_ref[_PAD:H + _PAD, _PAD:W + _PAD, :] = x_ref[0].astype(jnp.float32)
+    pad_ref[:, _PAD:H + _PAD, _PAD:W + _PAD, :] = x_ref[:].astype(jnp.float32)
 
-    # dw5x5 as 25 shifted VPU multiply-adds
-    acc = jnp.zeros((H, W, C), jnp.float32)
+    # dw5x5 as 25 shifted VPU multiply-adds (batched over B)
+    acc = jnp.zeros((B, H, W, C), jnp.float32)
     for dh in range(5):
         for dw in range(5):
-            acc += pad_ref[dh:dh + H, dw:dw + W, :] * dww_ref[dh, dw, :].astype(jnp.float32)
+            acc += pad_ref[:, dh:dh + H, dw:dw + W, :] * dww_ref[dh, dw, :].astype(jnp.float32)
     acc = jnp.maximum(acc + dwb_ref[:].astype(jnp.float32), 0.0)
 
-    # pw1x1 on the MXU: (H*W, C) @ (C, Cout)
+    # pw1x1 on the MXU: (B*H*W, C) @ (C, Cout) — batching B widens the
+    # matmul's row dimension
     y = jnp.dot(
-        acc.reshape(H * W, C), pww_ref[:].astype(jnp.float32),
+        acc.reshape(B * H * W, C), pww_ref[:].astype(jnp.float32),
         preferred_element_type=jnp.float32,
     )
-    y = jnp.maximum(y + pwb_ref[:].astype(jnp.float32), 0.0).reshape(H, W, Cout)
+    y = jnp.maximum(y + pwb_ref[:].astype(jnp.float32), 0.0).reshape(B, H, W, Cout)
 
     # nearest x2 upsample in-register (broadcast + reshape)
-    up = jnp.broadcast_to(y[:, None, :, None, :], (H, 2, W, 2, Cout))
-    up = up.reshape(2 * H, 2 * W, Cout)
+    up = jnp.broadcast_to(y[:, :, None, :, None, :], (B, H, 2, W, 2, Cout))
+    up = up.reshape(B, 2 * H, 2 * W, Cout)
     if has_skip:
-        up = up + skip_ref[0].astype(jnp.float32)
-    out_ref[0] = up.astype(out_ref.dtype)
+        up = up + skip_ref[:].astype(jnp.float32)
+    out_ref[:] = up.astype(out_ref.dtype)
 
 
 def fused_decoder_stage(
@@ -70,9 +71,15 @@ def fused_decoder_stage(
     pw_b: Array,     # (Cout,)
     skip: Optional[Array] = None,   # (N, 2H, 2W, Cout)
     *,
+    block_batch: int = 1,
     interpret: bool = False,
 ) -> Array:
-    """Fused dw5x5+ReLU+pw1x1+ReLU+up2x(+skip) for one decoder level."""
+    """Fused dw5x5+ReLU+pw1x1+ReLU+up2x(+skip) for one decoder level.
+
+    ``block_batch``: images per grid step.  >1 shrinks the grid and widens
+    the pointwise matmul (better MXU occupancy for the small-spatial
+    stages); VMEM budget caps it for the large-spatial ones.
+    """
     N, H, W, C = x.shape
     if dw_w.ndim == 4:
         dw_w = dw_w.reshape(5, 5, C)
@@ -80,13 +87,14 @@ def fused_decoder_stage(
         pw_w = pw_w.reshape(pw_w.shape[2], pw_w.shape[3])
     Cout = pw_w.shape[1]
     has_skip = skip is not None
+    B = block_batch if N % block_batch == 0 else 1
 
     kernel = functools.partial(
-        _stage_kernel, H=H, W=W, C=C, Cout=Cout, has_skip=has_skip,
+        _stage_kernel, B=B, H=H, W=W, C=C, Cout=Cout, has_skip=has_skip,
     )
 
     in_specs = [
-        pl.BlockSpec((1, H, W, C), lambda n: (n, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, H, W, C), lambda n: (n, 0, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),  # dw_w
         pl.BlockSpec(memory_space=pltpu.VMEM),  # dw_b
         pl.BlockSpec(memory_space=pltpu.VMEM),  # pw_w
@@ -95,7 +103,7 @@ def fused_decoder_stage(
     args = [x, dw_w, dw_b, pw_w, pw_b]
     if has_skip:
         in_specs.append(
-            pl.BlockSpec((1, 2 * H, 2 * W, Cout), lambda n: (n, 0, 0, 0),
+            pl.BlockSpec((B, 2 * H, 2 * W, Cout), lambda n: (n, 0, 0, 0),
                          memory_space=pltpu.VMEM)
         )
         args.append(skip)
@@ -108,12 +116,12 @@ def fused_decoder_stage(
     flops = N * (H * W * C * 25 * 2 + H * W * C * Cout * 2)
     return pl.pallas_call(
         kernel,
-        grid=(N,),
+        grid=(N // B,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 2 * H, 2 * W, Cout), lambda n: (n, 0, 0, 0),
+        out_specs=pl.BlockSpec((B, 2 * H, 2 * W, Cout), lambda n: (n, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, 2 * H, 2 * W, Cout), x.dtype),
-        scratch_shapes=[pltpu.VMEM((H + 2 * _PAD, W + 2 * _PAD, C), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((B, H + 2 * _PAD, W + 2 * _PAD, C), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=x.size * x.dtype.itemsize * 2,
