@@ -64,6 +64,48 @@ def apply_fastdepth_fused(
     return B.relu(B.conv2d(y, head["w"], bias=head["b"]))
 
 
+def apply_fastdepth_fused_v2(
+    params: Dict,
+    x: Array,
+    cfg: ModelConfig,
+    *,
+    interpret: bool = False,
+) -> Array:
+    """Fused decoder in HWBC layout — the shift-friendly kernel variant.
+
+    The encoder runs in NHWC through XLA; activations transpose once to
+    (H, W, B, C) at the decoder boundary, every decoder level runs as one
+    HWBC Pallas kernel (tap shifts on untiled leading dims — no Mosaic
+    relayouts), and the result transposes back for the XLA 1x1 head.
+    Per-stage images-per-grid-step sized to VMEM.
+    """
+    import jax.numpy as jnp
+
+    from fastdepth_tpu.ops import blocks as B
+    from fastdepth_tpu.ops.pallas.fused_decoder import fused_decoder_stage_hwbc
+
+    if cfg.skip != "add" or not cfg.decoder_depthwise or cfg.decoder_kernel != 5:
+        raise ValueError("fused path supports the nnconv5dw skip-add family")
+    feats, tapped = MN.apply_encoder(
+        params["encoder"], x, relu6=cfg.encoder_relu6, taps=_SKIP_TAPS,
+    )
+    to_hwbc = lambda a: jnp.transpose(a, (1, 2, 0, 3))
+    dec = params["decoder"]
+    y = to_hwbc(feats)
+    skips = {2: to_hwbc(tapped[5]), 3: to_hwbc(tapped[3]), 4: to_hwbc(tapped[1])}
+    block_batches = {1: 8, 2: 8, 3: 4, 4: 2, 5: 1}
+    for i in range(1, 6):
+        p = dec[f"decode_conv{i}"]
+        y = fused_decoder_stage_hwbc(
+            y, p["dw"]["w"], p["dw"]["b"], p["pw"]["w"], p["pw"]["b"],
+            skip=skips.get(i), block_batch=block_batches[i],
+            interpret=interpret,
+        )
+    y = jnp.transpose(y, (2, 0, 1, 3))  # back to NHWC
+    head = dec["decode_conv6"]["pw"]
+    return B.relu(B.conv2d(y, head["w"], bias=head["b"]))
+
+
 def apply_fastdepth_mixed(
     params: Dict,
     x: Array,

@@ -131,6 +131,101 @@ def fused_decoder_stage(
     )(*args)
 
 
+def _stage_kernel_v2(x_ref, dww_ref, dwb_ref, pww_ref, pwb_ref, skip_ref,
+                     out_ref, pad_ref, *, B, H, W, C, Cout, has_skip):
+    """HWBC-layout stage kernel.
+
+    Arrays are (H, W, B, C): the 5x5 tap shifts walk the two *leading*
+    (untiled) dims, so each shifted read is pure address arithmetic —
+    the NHWC variant's +-1 slices along the sublane dim forced a Mosaic
+    relayout copy per tap (25 copies per step, ~100x off roofline).
+    Trailing (B, C) = (sublanes, lanes) stays fixed for every op.
+    """
+    pad_ref[:] = jnp.zeros_like(pad_ref)
+    pad_ref[_PAD:H + _PAD, _PAD:W + _PAD] = x_ref[:].astype(jnp.float32)
+
+    acc = jnp.zeros((H, W, B, C), jnp.float32)
+    for dh in range(5):
+        for dw in range(5):
+            acc += pad_ref[dh:dh + H, dw:dw + W] * dww_ref[dh, dw, :].astype(jnp.float32)
+    acc = jnp.maximum(acc + dwb_ref[:].astype(jnp.float32), 0.0)
+
+    y = jnp.dot(
+        acc.reshape(H * W * B, C), pww_ref[:].astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    y = jnp.maximum(y + pwb_ref[:].astype(jnp.float32), 0.0).reshape(H, W, B, Cout)
+
+    up = jnp.broadcast_to(y[:, None, :, None], (H, 2, W, 2, B, Cout))
+    up = up.reshape(2 * H, 2 * W, B, Cout)
+    if has_skip:
+        up = up + skip_ref[:].astype(jnp.float32)
+    out_ref[:] = up.astype(out_ref.dtype)
+
+
+def fused_decoder_stage_hwbc(
+    x: Array,        # (H, W, N, C)  — HWBC layout
+    dw_w: Array,
+    dw_b: Array,
+    pw_w: Array,
+    pw_b: Array,
+    skip: Optional[Array] = None,   # (2H, 2W, N, Cout)
+    *,
+    block_batch: int = 8,
+    interpret: bool = False,
+) -> Array:
+    """Shift-friendly fused stage over HWBC-layout activations.
+
+    Callers transpose NHWC -> HWBC once at the decoder boundary
+    (models/fused.py); inside the decoder every stage keeps HWBC."""
+    H, W, N, C = x.shape
+    if dw_w.ndim == 4:
+        dw_w = dw_w.reshape(5, 5, C)
+    if pw_w.ndim == 4:
+        pw_w = pw_w.reshape(pw_w.shape[2], pw_w.shape[3])
+    Cout = pw_w.shape[1]
+    has_skip = skip is not None
+    B = block_batch if N % block_batch == 0 else (N if N < block_batch else 1)
+
+    kernel = functools.partial(
+        _stage_kernel_v2, B=B, H=H, W=W, C=C, Cout=Cout, has_skip=has_skip,
+    )
+    in_specs = [
+        pl.BlockSpec((H, W, B, C), lambda n: (0, 0, n, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    args = [x, dw_w, dw_b, pw_w, pw_b]
+    if has_skip:
+        in_specs.append(
+            pl.BlockSpec((2 * H, 2 * W, B, Cout), lambda n: (0, 0, n, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(skip)
+    else:
+        in_specs.append(pl.BlockSpec((1, 1, 1, 1), lambda n: (0, 0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(jnp.zeros((1, 1, 1, 1), x.dtype))
+
+    return pl.pallas_call(
+        kernel,
+        grid=(N // B,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((2 * H, 2 * W, B, Cout), lambda n: (0, 0, n, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2 * H, 2 * W, N, Cout), x.dtype),
+        scratch_shapes=[pltpu.VMEM((H + 2 * _PAD, W + 2 * _PAD, B, C), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=N * (H * W * C * 25 * 2 + H * W * C * Cout * 2),
+            bytes_accessed=x.size * x.dtype.itemsize * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+
+
 def fused_pointwise_head(
     x: Array,
     pw_w: Array,   # (1, 1, C, 1) or (C, 1)

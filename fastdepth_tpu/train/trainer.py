@@ -55,18 +55,44 @@ def make_train_step(
     model: Model,
     cfg: TrainConfig,
     loss_fn: Callable[[Array, Array], Array] = masked_l1_loss,
+    *,
+    remat: bool = False,
+    skip_nonfinite: bool = True,
 ):
-    """Returns step(state, rgb, depth, lr) -> (state, loss)."""
+    """Returns step(state, rgb, depth, lr) -> (state, loss).
 
-    def loss_and_stats(params, rgb, depth):
+    ``remat``: rematerialize the forward during backprop
+    (``jax.checkpoint``) — trades FLOPs for activation memory, the lever
+    for large batches/resolutions on HBM-bound chips.
+    ``skip_nonfinite``: if the loss or any gradient is NaN/Inf (bad batch,
+    overflow), the whole update is skipped — the failure-isolation story
+    for long unattended runs (the reference has no failure handling,
+    SURVEY.md §5).
+    """
+
+    def _forward(params, rgb):
         stats: Dict = {}
         pred = model.apply(params, rgb, train=True, stats=stats)
+        # stats leaves must flow OUT of the (possibly rematerialized)
+        # trace as outputs, not escape via closure
+        return pred, stats
+
+    fwd = jax.checkpoint(_forward) if remat else _forward
+
+    def loss_and_stats(params, rgb, depth):
+        pred, stats = fwd(params, rgb)
         return loss_fn(pred, depth), stats
 
     def step(state: TrainState, rgb: Array, depth: Array, lr: Array):
         (loss, stats), grads = jax.value_and_grad(loss_and_stats, has_aux=True)(
             state.params, rgb, depth
         )
+        if skip_nonfinite:
+            finite = jnp.isfinite(loss)
+            for g in jax.tree.leaves(grads):
+                finite = finite & jnp.all(jnp.isfinite(g))
+            grads = jax.tree.map(lambda g: jnp.where(finite, g, 0.0), grads)
+            lr = jnp.where(finite, lr, 0.0)
 
         def update(path, p, g, m):
             if cfg.weight_decay and _is_weight(path):
@@ -113,12 +139,13 @@ class Trainer:
         cfg: TrainConfig,
         mesh=None,
         loss_fn: Callable = masked_l1_loss,
+        remat: bool = False,
     ):
         self.model = model
         self.cfg = cfg
         self.mesh = mesh
         self.state = sgd_init(params)
-        step = make_train_step(model, cfg, loss_fn)
+        step = make_train_step(model, cfg, loss_fn, remat=remat)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 

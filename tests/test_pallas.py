@@ -108,3 +108,15 @@ def test_fused_hybrid_matches_reference_forward(rng):
     ref = model.apply(params, x)
     got = apply_fastdepth_fused_hybrid(params, x, cfg, tail_chunk=2, interpret=True)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-4)
+
+
+def test_fused_v2_hwbc_matches_reference_forward(rng):
+    from fastdepth_tpu.models.fused import apply_fastdepth_fused_v2
+
+    cfg = ModelConfig(encoder_channels=TINY_ENC, decoder_channels=TINY_DEC)
+    model = build(cfg)
+    params = model.fold(model.init(jax.random.PRNGKey(0)))
+    x = jnp.asarray(rng.rand(4, 64, 64, 3).astype(np.float32))
+    ref = model.apply(params, x)
+    got = apply_fastdepth_fused_v2(params, x, cfg, interpret=True)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-4)

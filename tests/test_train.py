@@ -136,3 +136,38 @@ def test_step_lr_schedule():
     assert step_lr(tc, 0) == 0.01
     assert abs(step_lr(tc, 5) - 0.002) < 1e-12
     assert abs(step_lr(tc, 10) - 0.0004) < 1e-12
+
+
+def test_remat_step_matches_plain(rng):
+    """jax.checkpoint rematerialization changes memory, not math."""
+    model = build(CFG)
+    params = model.init(jax.random.PRNGKey(2))
+    tc = TrainConfig(lr=0.01, weight_decay=0.0)
+    rgb, depth = _data(rng)
+    copy = lambda: jax.tree.map(jnp.array, params)
+    s1 = sgd_init(copy())
+    s2 = sgd_init(copy())
+    step_plain = jax.jit(make_train_step(model, tc, remat=False))
+    step_remat = jax.jit(make_train_step(model, tc, remat=True))
+    s1, l1 = step_plain(s1, rgb, depth, jnp.float32(0.01))
+    s2, l2 = step_remat(s2, rgb, depth, jnp.float32(0.01))
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(s1.params["encoder"]["conv0"]["w"]),
+        np.asarray(s2.params["encoder"]["conv0"]["w"]), atol=1e-6)
+
+
+def test_nonfinite_batch_skipped(rng):
+    """A NaN batch must not poison the weights (failure isolation)."""
+    model = build(CFG)
+    params = model.init(jax.random.PRNGKey(3))
+    tc = TrainConfig(lr=0.05, weight_decay=0.0)
+    step = jax.jit(make_train_step(model, tc))
+    state = sgd_init(params)
+    rgb, depth = _data(rng)
+    bad_rgb = rgb.at[0, 0, 0, 0].set(jnp.nan)
+    before = np.asarray(state.params["encoder"]["conv0"]["w"])
+    state, loss = step(state, bad_rgb, depth, jnp.float32(0.05))
+    after = np.asarray(state.params["encoder"]["conv0"]["w"])
+    assert not np.isfinite(float(loss))
+    np.testing.assert_array_equal(before, after)  # update skipped
