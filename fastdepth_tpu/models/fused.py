@@ -89,10 +89,9 @@ def apply_fastdepth_fused_v2(
     feats, tapped = MN.apply_encoder(
         params["encoder"], x, relu6=cfg.encoder_relu6, taps=_SKIP_TAPS,
     )
-    to_hwbc = lambda a: jnp.transpose(a, (1, 2, 0, 3))
     dec = params["decoder"]
-    y = to_hwbc(feats)
-    skips = {2: to_hwbc(tapped[5]), 3: to_hwbc(tapped[3]), 4: to_hwbc(tapped[1])}
+    y = feats
+    skips = {2: tapped[5], 3: tapped[3], 4: tapped[1]}
     block_batches = {1: 8, 2: 8, 3: 4, 4: 2, 5: 1}
     for i in range(1, 6):
         p = dec[f"decode_conv{i}"]
@@ -101,7 +100,6 @@ def apply_fastdepth_fused_v2(
             skip=skips.get(i), block_batch=block_batches[i],
             interpret=interpret,
         )
-    y = jnp.transpose(y, (2, 0, 1, 3))  # back to NHWC
     head = dec["decode_conv6"]["pw"]
     return B.relu(B.conv2d(y, head["w"], bias=head["b"]))
 

@@ -133,16 +133,16 @@ def fused_decoder_stage(
 
 def _stage_kernel_v2(x_ref, dww_ref, dwb_ref, pww_ref, pwb_ref, skip_ref,
                      out_ref, pad_ref, *, B, H, W, C, Cout, has_skip):
-    """HWBC-layout stage kernel.
+    """HWBC-layout stage kernel over a (1, H, W, B, C) block.
 
-    Arrays are (H, W, B, C): the 5x5 tap shifts walk the two *leading*
-    (untiled) dims, so each shifted read is pure address arithmetic —
-    the NHWC variant's +-1 slices along the sublane dim forced a Mosaic
-    relayout copy per tap (25 copies per step, ~100x off roofline).
-    Trailing (B, C) = (sublanes, lanes) stays fixed for every op.
+    The 5x5 tap shifts walk the two *leading* (untiled) dims, so each
+    shifted read is pure address arithmetic — the NHWC variant's +-1
+    slices along the sublane dim forced a Mosaic relayout copy per tap
+    (25 copies per step, ~100x off roofline).  Trailing (B, C) =
+    (sublanes, lanes) stays fixed for every op.
     """
     pad_ref[:] = jnp.zeros_like(pad_ref)
-    pad_ref[_PAD:H + _PAD, _PAD:W + _PAD] = x_ref[:].astype(jnp.float32)
+    pad_ref[_PAD:H + _PAD, _PAD:W + _PAD] = x_ref[0].astype(jnp.float32)
 
     acc = jnp.zeros((H, W, B, C), jnp.float32)
     for dh in range(5):
@@ -159,26 +159,26 @@ def _stage_kernel_v2(x_ref, dww_ref, dwb_ref, pww_ref, pwb_ref, skip_ref,
     up = jnp.broadcast_to(y[:, None, :, None], (H, 2, W, 2, B, Cout))
     up = up.reshape(2 * H, 2 * W, B, Cout)
     if has_skip:
-        up = up + skip_ref[:].astype(jnp.float32)
-    out_ref[:] = up.astype(out_ref.dtype)
+        up = up + skip_ref[0].astype(jnp.float32)
+    out_ref[0] = up.astype(out_ref.dtype)
 
 
 def fused_decoder_stage_hwbc(
-    x: Array,        # (H, W, N, C)  — HWBC layout
+    x: Array,        # NHWC (N, H, W, C)
     dw_w: Array,
     dw_b: Array,
     pw_w: Array,
     pw_b: Array,
-    skip: Optional[Array] = None,   # (2H, 2W, N, Cout)
+    skip: Optional[Array] = None,   # NHWC (N, 2H, 2W, Cout)
     *,
     block_batch: int = 8,
     interpret: bool = False,
 ) -> Array:
-    """Shift-friendly fused stage over HWBC-layout activations.
-
-    Callers transpose NHWC -> HWBC once at the decoder boundary
-    (models/fused.py); inside the decoder every stage keeps HWBC."""
-    H, W, N, C = x.shape
+    """Shift-friendly fused stage.  NHWC in/out; internally activations
+    are viewed as (N/B, H, W, B, C) — Pallas TPU blocks may only
+    partition leading dims, so the grid walks dim 0 and each block keeps
+    its full trailing (sublane=B, lane=C) tile."""
+    N, H, W, C = x.shape
     if dw_w.ndim == 4:
         dw_w = dw_w.reshape(5, 5, C)
     if pw_w.ndim == 4:
@@ -186,36 +186,42 @@ def fused_decoder_stage_hwbc(
     Cout = pw_w.shape[1]
     has_skip = skip is not None
     B = block_batch if N % block_batch == 0 else (N if N < block_batch else 1)
+    G = N // B
 
+    def to5(a, h, w, c):  # (N, h, w, c) -> (G, h, w, B, c)
+        return jnp.transpose(a.reshape(G, B, h, w, c), (0, 2, 3, 1, 4))
+
+    x5 = to5(x, H, W, C)
     kernel = functools.partial(
         _stage_kernel_v2, B=B, H=H, W=W, C=C, Cout=Cout, has_skip=has_skip,
     )
     in_specs = [
-        pl.BlockSpec((H, W, B, C), lambda n: (0, 0, n, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, H, W, B, C), lambda n: (n, 0, 0, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
     ]
-    args = [x, dw_w, dw_b, pw_w, pw_b]
+    args = [x5, dw_w, dw_b, pw_w, pw_b]
     if has_skip:
         in_specs.append(
-            pl.BlockSpec((2 * H, 2 * W, B, Cout), lambda n: (0, 0, n, 0),
+            pl.BlockSpec((1, 2 * H, 2 * W, B, Cout), lambda n: (n, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM)
         )
-        args.append(skip)
+        args.append(to5(skip, 2 * H, 2 * W, Cout))
     else:
-        in_specs.append(pl.BlockSpec((1, 1, 1, 1), lambda n: (0, 0, 0, 0),
+        in_specs.append(pl.BlockSpec((1, 1, 1, 1, 1), lambda n: (0, 0, 0, 0, 0),
                                      memory_space=pltpu.VMEM))
-        args.append(jnp.zeros((1, 1, 1, 1), x.dtype))
+        args.append(jnp.zeros((1, 1, 1, 1, 1), x.dtype))
 
-    return pl.pallas_call(
+    out5 = pl.pallas_call(
         kernel,
-        grid=(N // B,),
+        grid=(G,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((2 * H, 2 * W, B, Cout), lambda n: (0, 0, n, 0),
+        out_specs=pl.BlockSpec((1, 2 * H, 2 * W, B, Cout),
+                               lambda n: (n, 0, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((2 * H, 2 * W, N, Cout), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((G, 2 * H, 2 * W, B, Cout), x.dtype),
         scratch_shapes=[pltpu.VMEM((H + 2 * _PAD, W + 2 * _PAD, B, C), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=N * (H * W * C * 25 * 2 + H * W * C * Cout * 2),
@@ -224,6 +230,8 @@ def fused_decoder_stage_hwbc(
         ),
         interpret=interpret,
     )(*args)
+    # (G, 2H, 2W, B, Cout) -> NHWC
+    return jnp.transpose(out5, (0, 3, 1, 2, 4)).reshape(N, 2 * H, 2 * W, Cout)
 
 
 def fused_pointwise_head(
