@@ -169,3 +169,32 @@ def test_decoder_family_output_shapes(decoder):
     p = m.init(jax.random.PRNGKey(0))
     y = m.apply(p, jnp.zeros((1, 64, 64, 3)))
     assert y.shape == (1, 64, 64, 1)
+
+
+def test_pruned_checkpoint_roundtrip_real_shapes():
+    """Converter + forward parity at the TRUE NetAdapt-pruned channel
+    lists (SURVEY.md §2 reconstruction) — the architecture that exists
+    only inside a pickle in the reference release."""
+    from fastdepth_tpu.config import (
+        PRUNED_DECODER_CHANNELS,
+        PRUNED_ENCODER_CHANNELS,
+    )
+
+    gen = torch.Generator().manual_seed(9)
+    tm = TorchFastDepth(
+        PRUNED_ENCODER_CHANNELS, PRUNED_DECODER_CHANNELS, skip="add"
+    ).eval()
+    randomize_bn_stats(tm, gen)
+    x = torch.randn(1, 3, 224, 224, generator=gen)
+    with torch.no_grad():
+        ref = tm(x).numpy()
+
+    params, cfg = C.convert_fastdepth_skip(_state_dict_np(tm), skip="add")
+    assert cfg == FASTDEPTH_PRUNED
+    model = build(cfg)
+    out = model.apply(
+        numpy_to_jax(params), jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    )
+    np.testing.assert_allclose(
+        ref, np.asarray(out).transpose(0, 3, 1, 2), atol=5e-4
+    )
