@@ -40,11 +40,15 @@ def _stage_kernel(x_ref, dww_ref, dwb_ref, pww_ref, pwb_ref, skip_ref,
     pad_ref[:] = jnp.zeros_like(pad_ref)
     pad_ref[:, _PAD:H + _PAD, _PAD:W + _PAD, :] = x_ref[:].astype(jnp.float32)
 
-    # dw5x5 as 25 shifted VPU multiply-adds (batched over B)
+    # dw5x5 as 25 shifted VPU multiply-adds (batched over B).  W is the
+    # sublane dim, so a W-shifted read forces a Mosaic relayout copy —
+    # hoist it: materialize each of the 5 W-shifts ONCE, then the 5
+    # H-shifts per W-shift are untiled leading-dim reads (free).
     acc = jnp.zeros((B, H, W, C), jnp.float32)
-    for dh in range(5):
-        for dw in range(5):
-            acc += pad_ref[:, dh:dh + H, dw:dw + W, :] * dww_ref[dh, dw, :].astype(jnp.float32)
+    for dw in range(5):
+        shifted = pad_ref[:, :, dw:dw + W, :]  # (B, H+4, W, C), one relayout
+        for dh in range(5):
+            acc += shifted[:, dh:dh + H] * dww_ref[dh, dw, :].astype(jnp.float32)
     acc = jnp.maximum(acc + dwb_ref[:].astype(jnp.float32), 0.0)
 
     # pw1x1 on the MXU: (B*H*W, C) @ (C, Cout) — batching B widens the
