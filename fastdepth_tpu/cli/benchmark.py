@@ -74,7 +74,8 @@ def main(argv=None):
         params = model.init(jax.random.PRNGKey(0))
 
     data_root = args.data_root or make_synthetic_tree(args.synthetic)
-    dataset = NYUDataset(os.path.join(data_root, args.data, "val"), split="val")
+    dataset = NYUDataset(os.path.join(data_root, args.data, "val"), split="val",
+                         device_normalize=True)
     loader = BatchLoader(dataset, batch_size=args.batch_size,
                          num_workers=args.workers, pad_last=True)
     evaluator = Evaluator(

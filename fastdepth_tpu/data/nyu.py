@@ -52,7 +52,11 @@ class NYUDataset:
         modality: str = "rgb",
         loader=h5_loader,
         seed: int = 0,
+        device_normalize: bool = False,
     ):
+        # device_normalize: emit uint8 RGB and let the device do the /255
+        # (exactly the same math in f32) — quarters host->device transfer
+        # and skips a host-side float conversion pass.
         if split not in ("train", "holdout", "val"):
             raise RuntimeError(
                 f"Invalid dataset split: {split}\n"
@@ -70,6 +74,7 @@ class NYUDataset:
         self.train_pipeline = TrainPipeline(raw_size=RAW_SIZE, output_size=OUTPUT_SIZE)
         self.color_jitter = T.ColorJitter(0.4, 0.4, 0.4)
         self._rng = np.random.RandomState(seed)
+        self.device_normalize = device_normalize
 
     @staticmethod
     def _is_image_file(filename: str, split: str) -> bool:
@@ -113,6 +118,9 @@ class NYUDataset:
             from fastdepth_tpu.data import native
 
             pipe = self.val_pipeline
-            rgb_np = native.gather_rgb_f32(rgb, pipe.rows, pipe.cols)
+            if self.device_normalize:
+                rgb_np = np.ascontiguousarray(rgb[pipe.rows][:, pipe.cols])
+            else:
+                rgb_np = native.gather_rgb_f32(rgb, pipe.rows, pipe.cols)
             depth_np = native.gather_depth_f32(depth, pipe.rows, pipe.cols)
         return rgb_np, depth_np[..., None]

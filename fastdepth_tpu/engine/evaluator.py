@@ -64,7 +64,12 @@ class Evaluator:
         self.params = params
 
         def step(params, rgb, depth):
-            rgb = rgb.astype(dtype)
+            if rgb.dtype == jnp.uint8:
+                # device-side /255 (identical math to the host path;
+                # uint8 transfer is 4x smaller)
+                rgb = rgb.astype(dtype) / 255.0
+            else:
+                rgb = rgb.astype(dtype)
             pred = model.apply(params, rgb)
             pred = pred.astype(jnp.float32)
             return pred, M.evaluate_batch(pred, depth)

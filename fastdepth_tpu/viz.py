@@ -24,8 +24,10 @@ def colored_depthmap(depth: np.ndarray, d_min: Optional[float] = None,
 def merge_into_row(rgb: np.ndarray, depth_target: np.ndarray,
                    depth_pred: np.ndarray) -> np.ndarray:
     """One comparison row [rgb | gt | pred] with a shared color scale
-    (utils.py:46-57).  Inputs NHWC/HWC in [0, 1] rgb and (H, W[,1]) depths."""
-    rgb = 255 * np.squeeze(np.asarray(rgb))
+    (utils.py:46-57).  Inputs NHWC/HWC rgb in [0, 1] float or uint8, and
+    (H, W[,1]) depths."""
+    rgb = np.squeeze(np.asarray(rgb))
+    rgb = rgb.astype(np.float64) if rgb.dtype == np.uint8 else 255 * rgb
     tgt = np.squeeze(np.asarray(depth_target))
     pred = np.squeeze(np.asarray(depth_pred))
     d_min = min(float(tgt.min()), float(pred.min()))

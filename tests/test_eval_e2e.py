@@ -154,3 +154,23 @@ def test_cli_end_to_end(nyu_val_root, torch_ckpt, tmp_path, capsys):
         "rmse", "mae", "delta1", "absrel", "lg10", "mse", "delta2", "delta3",
         "data_time", "gpu_time",
     ]
+
+
+def test_device_normalize_matches_host_normalize(nyu_val_root, torch_ckpt):
+    """uint8-to-device + on-device /255 == host-side f32 path exactly."""
+    ckpt_path, _ = torch_ckpt
+    from fastdepth_tpu.checkpoint.convert import convert_checkpoint
+    from fastdepth_tpu.checkpoint.io import numpy_to_jax
+
+    params, cfg, _ = convert_checkpoint(ckpt_path)
+    model = build(cfg)
+    ev = Evaluator(model, numpy_to_jax(params), batch_size=5)
+
+    ds_host = NYUDataset(nyu_val_root, split="val")
+    ds_dev = NYUDataset(nyu_val_root, split="val", device_normalize=True)
+    l_host = BatchLoader(ds_host, batch_size=5, num_workers=2)
+    l_dev = BatchLoader(ds_dev, batch_size=5, num_workers=2)
+    a = validate(l_host, ev, print_freq=0, make_images=False, log=lambda *x: None)
+    b = validate(l_dev, ev, print_freq=0, make_images=False, log=lambda *x: None)
+    np.testing.assert_allclose(a.rmse, b.rmse, rtol=1e-6)
+    np.testing.assert_allclose(a.delta1, b.delta1, rtol=1e-6)
