@@ -72,17 +72,23 @@ class Evaluator:
                 rgb = rgb.astype(dtype)
             pred = model.apply(params, rgb)
             pred = pred.astype(jnp.float32)
-            return pred, M.evaluate_batch(pred, depth)
+            metrics = M.evaluate_batch(pred, depth)
+            # ONE stacked (num_fields, N) array: a single device->host
+            # fetch instead of 10 round trips (matters on high-latency
+            # transports)
+            stacked = jnp.stack([metrics[f] for f in M.METRIC_FIELDS])
+            return pred, stacked
 
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             data = NamedSharding(mesh, P("data"))
             repl = NamedSharding(mesh, P())
+            metrics_sh = NamedSharding(mesh, P(None, "data"))
             self._step = jax.jit(
                 step,
                 in_shardings=(repl, data, data),
-                out_shardings=(data, data),
+                out_shardings=(data, metrics_sh),
             )
         else:
             self._step = jax.jit(step)
@@ -141,7 +147,8 @@ def validate(
         data_time = t0 - end
         # host materialization doubles as the device sync: on some PJRT
         # transports block_until_ready returns early (engine/benchmark.py)
-        valid = {k: np.asarray(v)[:count] for k, v in batch_metrics.items()}
+        stacked = np.asarray(batch_metrics)  # (num_fields, N), one fetch
+        valid = {f: stacked[i, :count] for i, f in enumerate(M.METRIC_FIELDS)}
         gpu_time = time.time() - t0
         meter.update_batch(valid, gpu_time=gpu_time / count, data_time=data_time / count)
 
