@@ -144,3 +144,33 @@ def test_pretrained_encoder_loading(tmp_path):
     enc = load_pretrained_encoder(path)
     assert enc["conv0"]["w"].shape == (3, 3, 3, TINY_ENC[0])
     assert enc["conv13"]["pw"]["w"].shape == (1, 1, TINY_ENC[12], TINY_ENC[13])
+
+
+def test_streaming_benchmark_cli(tmp_path, rng, capsys):
+    """End-to-end streaming benchmark over a synthetic tree (tiny model
+    monkeypatched in via the checkpoint path)."""
+    import json as _json
+
+    import torch
+
+    from fastdepth_tpu.cli import benchmark as bench_cli
+
+    gen = torch.Generator().manual_seed(2)
+    tm = TorchFastDepth(TINY_ENC, TINY_DEC, skip="add").eval()
+    randomize_bn_stats(tm, gen)
+    ckpt = str(tmp_path / "m.pth.tar")
+    torch.save({"epoch": 0, "best_result": None, "model": tm}, ckpt)
+
+    root = tmp_path / "nyudepthv2" / "val"
+    _make_nyu_tree(str(root), rng, n=6)
+
+    result = bench_cli.main([
+        "--evaluate", ckpt,
+        "--data-root", str(tmp_path),
+        "--batch-size", "3",
+        "--json",
+    ])
+    assert result["frames"] == 6
+    assert result["fps"] > 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert _json.loads(out)["frames"] == 6
