@@ -236,6 +236,48 @@ def convert_resnet_encoder(sd: Dict[str, np.ndarray], layers: int) -> Dict:
     return params
 
 
+def infer_resnet_layers(sd: Dict[str, np.ndarray]) -> int:
+    """Recover the resnet depth from a state dict: block counts per stage
+    + bottleneck detection (conv3 presence)."""
+    bottleneck = "layer1.0.conv3.weight" in sd
+    counts = []
+    for s in range(1, 5):
+        n = 0
+        while f"layer{s}.{n}.conv1.weight" in sd:
+            n += 1
+        counts.append(n)
+    from fastdepth_tpu.models.resnet import BOTTLENECK, RESNET_LAYERS
+
+    for layers, blocks in RESNET_LAYERS.items():
+        if list(blocks) == counts and (layers in BOTTLENECK) == bottleneck:
+            return layers
+    raise ValueError(f"unrecognized resnet block structure: {counts}")
+
+
+def convert_resnet_depth(
+    sd: Dict[str, np.ndarray], skip: Optional[str]
+) -> Tuple[Dict, ModelConfig]:
+    """ResNetSkipAdd / ResNetSkipConcat / plain-ResNet state_dict ->
+    (params, config).  Decoder naming: decode_conv{i} is the dense conv
+    builder Sequential(conv, bn, relu) -> keys '.0.weight' / '.1.*'
+    (reference models.py:502-513, 598-609); conv2 is a biased 1x1
+    (models.py:399,498)."""
+    layers = infer_resnet_layers(sd)
+    params: Dict = {
+        "encoder": convert_resnet_encoder(sd, layers),
+        "conv2": _conv(sd, "conv2"),
+    }
+    decoder: Dict = {}
+    for i in range(1, 6):
+        decoder[f"decode_conv{i}"] = {
+            "conv": _conv_bn(sd, f"decode_conv{i}.0", f"decode_conv{i}.1")
+        }
+    decoder["decode_conv6"] = {"pw": _conv_bn(sd, "decode_conv6.0", "decode_conv6.1")}
+    params["decoder"] = decoder
+    cfg = ModelConfig(encoder=f"resnet{layers}", decoder="nnconv5", skip=skip)
+    return params, cfg
+
+
 def convert_checkpoint(path: str) -> Tuple[Dict, ModelConfig, Dict]:
     """Full conversion entry point: torch ckpt path -> (params, config, meta)."""
     sd, class_name, epoch, best_result = load_torch_checkpoint(path)
@@ -248,6 +290,18 @@ def convert_checkpoint(path: str) -> Tuple[Dict, ModelConfig, Dict]:
         params, cfg = convert_fastdepth_skip(sd, skip="add")
     elif class_name == "MobileNetSkipConcat":
         params, cfg = convert_fastdepth_skip(sd, skip="concat")
+    elif class_name == "ResNetSkipAdd":
+        params, cfg = convert_resnet_depth(sd, skip="add")
+    elif class_name == "ResNetSkipConcat":
+        params, cfg = convert_resnet_depth(sd, skip="concat")
+    elif "layer1.0.conv1.weight" in sd and "decode_conv1.0.weight" in sd:
+        # structure sniff for resnet skip models: concat widens
+        # decode_conv2's input (768 = 512+256 vs 512, models.py:598-602)
+        dc2_in = sd["decode_conv2.0.weight"].shape[1]
+        dc1_out = sd["decode_conv1.0.weight"].shape[0]
+        params, cfg = convert_resnet_depth(
+            sd, skip="add" if dc2_in == dc1_out else "concat"
+        )
     elif "conv0.0.weight" in sd and "decode_conv1.0.0.weight" in sd:
         # structure sniff for renamed/pruned variants: additive skips keep
         # decode_conv3's dw input equal to decode_conv2's pw output;

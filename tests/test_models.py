@@ -198,3 +198,44 @@ def test_pruned_checkpoint_roundtrip_real_shapes():
     np.testing.assert_allclose(
         ref, np.asarray(out).transpose(0, 3, 1, 2), atol=5e-4
     )
+
+
+@pytest.mark.parametrize("skip", ["add", "concat"])
+def test_resnet_skip_full_forward_matches_torch(skip):
+    """Full ResNetSkip{Add,Concat} forward + converter parity vs a torch
+    oracle (reference models.py:462-652 orderings, incl. the stage-5
+    add-before-conv quirk)."""
+    from torch_oracle import TorchResNetSkip
+
+    gen = torch.Generator().manual_seed(6)
+    tm = TorchResNetSkip(18, skip=skip).eval()
+    randomize_bn_stats(tm, gen)
+    x = torch.randn(1, 3, 64, 64, generator=gen)
+    with torch.no_grad():
+        ref = tm(x).numpy()
+
+    sd = _state_dict_np(tm)
+    params, cfg = C.convert_resnet_depth(sd, skip=skip)
+    assert cfg.encoder == "resnet18" and cfg.skip == skip
+    out = build(cfg).apply(
+        numpy_to_jax(params), jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    )
+    np.testing.assert_allclose(
+        ref, np.asarray(out).transpose(0, 3, 1, 2), atol=5e-4
+    )
+
+
+def test_resnet_skip_sniff_dispatch(tmp_path):
+    """convert_checkpoint structure-sniffs pickled resnet skip models."""
+    from torch_oracle import TorchResNetSkip
+
+    gen = torch.Generator().manual_seed(7)
+    tm = TorchResNetSkip(18, skip="concat").eval()
+    randomize_bn_stats(tm, gen)
+    path = str(tmp_path / "rn.pth.tar")
+    torch.save({"epoch": 2, "best_result": None, "model": tm}, path)
+    from fastdepth_tpu.checkpoint.convert import convert_checkpoint
+
+    params, cfg, meta = convert_checkpoint(path)
+    assert cfg.encoder == "resnet18" and cfg.skip == "concat"
+    assert meta["epoch"] == 2

@@ -197,6 +197,62 @@ class TorchResNetEncoder(nn.Module):
         return x1, y
 
 
+def _conv_bn_relu5(cin, cout):
+    """dense 5x5 conv builder, reference models.py:52-59 key layout."""
+    return nn.Sequential(
+        nn.Conv2d(cin, cout, 5, 1, 2, bias=False),
+        nn.BatchNorm2d(cout),
+        nn.ReLU(inplace=True),
+    )
+
+
+class TorchResNetSkip(nn.Module):
+    """ResNetSkipAdd / ResNetSkipConcat oracle (reference
+    models.py:462-652 semantics + state_dict key names)."""
+
+    def __init__(self, layers: int = 18, skip: str = "add"):
+        super().__init__()
+        self.skip = skip
+        enc = TorchResNetEncoder(layers)
+        self.conv1, self.bn1, self.maxpool = enc.conv1, enc.bn1, enc.maxpool
+        for s in range(1, 5):
+            setattr(self, f"layer{s}", getattr(enc, f"layer{s}"))
+        num = 2048 if layers >= 50 else 512
+        self.conv2 = nn.Conv2d(num, 1024, 1)  # bias=True (models.py:399)
+        if skip == "add":
+            specs = [(1024, 512), (512, 256), (256, 128), (128, 64), (64, 32)]
+        else:
+            specs = [(1024, 512), (768, 256), (384, 128), (192, 64), (128, 32)]
+        for i, (cin, cout) in enumerate(specs, start=1):
+            setattr(self, f"decode_conv{i}", _conv_bn_relu5(cin, cout))
+        self.decode_conv6 = _pointwise(32, 1)
+
+    def forward(self, x):
+        x1 = F.relu(self.bn1(self.conv1(x)))
+        x2 = self.maxpool(x1)
+        x3 = self.layer1(x2)
+        x4 = self.layer2(x3)
+        x5 = self.layer3(x4)
+        x6 = self.layer4(x5)
+        x7 = self.conv2(x6)
+        up = lambda v: F.interpolate(v, scale_factor=2, mode="nearest")
+        if self.skip == "add":
+            # models.py:534-556 (note stage-5 adds BEFORE the conv)
+            y = up(self.decode_conv1(x7) + x6)
+            y = up(self.decode_conv2(y) + x5)
+            y = up(self.decode_conv3(y) + x4)
+            y = up(self.decode_conv4(y) + x3)
+            y = up(self.decode_conv5(y + x1))
+            return self.decode_conv6(y)
+        # models.py:630-652
+        y = up(self.decode_conv1(x7))
+        y = up(self.decode_conv2(torch.cat((y, x5), 1)))
+        y = up(self.decode_conv3(torch.cat((y, x4), 1)))
+        y = up(self.decode_conv4(torch.cat((y, x3), 1)))
+        y = up(self.decode_conv5(torch.cat((y, x1), 1)))
+        return self.decode_conv6(y)
+
+
 def randomize_bn_stats(model: nn.Module, gen: torch.Generator):
     """Give BN layers nontrivial running stats so eval-mode parity tests
     exercise the real normalization math."""
