@@ -236,6 +236,53 @@ def convert_resnet_encoder(sd: Dict[str, np.ndarray], layers: int) -> Dict:
     return params
 
 
+def convert_mobilenet_plain(sd: Dict[str, np.ndarray]) -> Tuple[Dict, ModelConfig]:
+    """Plain MobileNet + NNConv decoder state_dict -> (params, config).
+
+    This is the format of the released mobilenet-nnconv5 /
+    mobilenet-nnconv5dw checkpoints (reference models.py:420-460:
+    encoder under 'mobilenet.{i}' Sequential naming, decoder under
+    'decoder.conv{1..6}' with NNConv's dw/dense stage structure,
+    models.py:224-251)."""
+    enc, enc_channels = convert_mobilenet_encoder_seqname(sd)
+    dw = "decoder.conv1.0.0.weight" in sd
+    decoder: Dict = {}
+    dec_channels = []
+    for i in range(1, 6):
+        p = f"decoder.conv{i}"
+        if dw:
+            stage = {
+                "dw": _conv_bn(sd, f"{p}.0.0", f"{p}.0.1"),
+                "pw": _conv_bn(sd, f"{p}.1.0", f"{p}.1.1"),
+            }
+            cout = stage["pw"]["w"].shape[-1]
+            k = stage["dw"]["w"].shape[0]
+        else:
+            stage = {"conv": _conv_bn(sd, f"{p}.0", f"{p}.1")}
+            cout = stage["conv"]["w"].shape[-1]
+            k = stage["conv"]["w"].shape[0]
+        decoder[f"stage{i}"] = stage
+        dec_channels.append(cout)
+    decoder["final"] = {"pw": _conv_bn(sd, "decoder.conv6.0", "decoder.conv6.1")}
+    cfg = ModelConfig(
+        encoder="mobilenet",
+        decoder=f"nnconv{k}dw" if dw else f"nnconv{k}",
+        skip=None,
+        encoder_channels=tuple(enc_channels),
+        decoder_channels=tuple(dec_channels),
+    )
+    return {"encoder": enc, "decoder": decoder}, cfg
+
+
+def convert_mobilenet_encoder_seqname(sd: Dict[str, np.ndarray]) -> Tuple[Dict, List[int]]:
+    """Encoder under 'mobilenet.{i}.{j}' naming (models.py:441)."""
+    renamed = {
+        "model." + k[len("mobilenet."):]: v
+        for k, v in sd.items() if k.startswith("mobilenet.")
+    }
+    return convert_mobilenet_encoder(renamed, seq=True)
+
+
 def infer_resnet_layers(sd: Dict[str, np.ndarray]) -> int:
     """Recover the resnet depth from a state dict: block counts per stage
     + bottleneck detection (conv3 presence)."""
@@ -294,6 +341,10 @@ def convert_checkpoint(path: str) -> Tuple[Dict, ModelConfig, Dict]:
         params, cfg = convert_resnet_depth(sd, skip="add")
     elif class_name == "ResNetSkipConcat":
         params, cfg = convert_resnet_depth(sd, skip="concat")
+    elif class_name == "MobileNet" or (
+        "mobilenet.0.0.weight" in sd and "decoder.conv1.0.0.weight" in sd
+    ) or ("mobilenet.0.0.weight" in sd and "decoder.conv1.0.weight" in sd):
+        params, cfg = convert_mobilenet_plain(sd)
     elif "layer1.0.conv1.weight" in sd and "decode_conv1.0.weight" in sd:
         # structure sniff for resnet skip models: concat widens
         # decode_conv2's input (768 = 512+256 vs 512, models.py:598-602)

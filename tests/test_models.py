@@ -239,3 +239,32 @@ def test_resnet_skip_sniff_dispatch(tmp_path):
     params, cfg, meta = convert_checkpoint(path)
     assert cfg.encoder == "resnet18" and cfg.skip == "concat"
     assert meta["epoch"] == 2
+
+
+@pytest.mark.parametrize("dw", [True, False])
+def test_plain_mobilenet_nnconv_converter_parity(dw, tmp_path):
+    """Released mobilenet-nnconv5[dw] checkpoint format -> converter ->
+    forward parity (reference models.py:420-460 + NNConv)."""
+    from torch_oracle import TorchMobileNetNNConv
+
+    gen = torch.Generator().manual_seed(8)
+    tm = TorchMobileNetNNConv(TINY_ENC, TINY_DEC, dw=dw).eval()
+    randomize_bn_stats(tm, gen)
+    x = torch.randn(1, 3, 64, 64, generator=gen)
+    with torch.no_grad():
+        ref = tm(x).numpy()
+
+    path = str(tmp_path / "m.pth.tar")
+    torch.save({"epoch": 4, "best_result": None, "model": tm}, path)
+    from fastdepth_tpu.checkpoint.convert import convert_checkpoint
+
+    params, cfg, meta = convert_checkpoint(path)
+    assert cfg.skip is None
+    assert cfg.decoder == ("nnconv5dw" if dw else "nnconv5")
+    assert cfg.encoder_channels == TINY_ENC
+    out = build(cfg).apply(
+        numpy_to_jax(params), jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    )
+    np.testing.assert_allclose(
+        ref, np.asarray(out).transpose(0, 3, 1, 2), atol=5e-4
+    )

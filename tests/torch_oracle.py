@@ -121,6 +121,50 @@ class TorchMobileNetClassifier(nn.Module):
         return self.fc(x.view(x.size(0), -1))
 
 
+class _NNConvDecoder(nn.Module):
+    """NNConv decoder (reference models.py:224-270 structure/naming)."""
+
+    def __init__(self, cin, dec, k, dw):
+        super().__init__()
+        c = cin
+        for i, cout in enumerate(dec, start=1):
+            if dw:
+                setattr(self, f"conv{i}", _decode_stage(c, cout, k))
+            else:
+                setattr(self, f"conv{i}", nn.Sequential(
+                    nn.Conv2d(c, cout, k, 1, (k - 1) // 2, bias=False),
+                    nn.BatchNorm2d(cout),
+                    nn.ReLU(inplace=True),
+                ))
+            c = cout
+        self.conv6 = _pointwise(c, 1)
+
+    def forward(self, x):
+        for i in range(1, 6):
+            x = getattr(self, f"conv{i}")(x)
+            x = F.interpolate(x, scale_factor=2, mode="nearest")
+        return self.conv6(x)
+
+
+class TorchMobileNetNNConv(nn.Module):
+    """Plain MobileNet + NNConv decoder oracle — the released
+    mobilenet-nnconv5[dw] checkpoint format (reference models.py:420-460
+    'mobilenet.{i}' Sequential + models.py:224-270 NNConv naming)."""
+
+    def __init__(self, enc: Sequence[int], dec: Sequence[int], k: int = 5, dw: bool = True):
+        super().__init__()
+        mods = [_cbr(3, enc[0], 3, 2)]
+        cin = enc[0]
+        for i in range(1, 14):
+            mods.append(_dw_sep(cin, enc[i], STRIDES[i - 1]))
+            cin = enc[i]
+        self.mobilenet = nn.Sequential(*mods)
+        self.decoder = _NNConvDecoder(cin, dec, k, dw)
+
+    def forward(self, x):
+        return self.decoder(self.mobilenet(x))
+
+
 class _BasicBlock(nn.Module):
     def __init__(self, cin, cout, stride):
         super().__init__()
