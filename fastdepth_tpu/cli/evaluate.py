@@ -38,6 +38,10 @@ def parse_args(argv=None):
     p.add_argument("--no-fold-bn", action="store_true",
                    help="keep BatchNorm unfolded (exact reference numerics)")
     p.add_argument("--no-images", action="store_true", help="skip comparison PNGs")
+    p.add_argument("--split", default="val", choices=["val", "holdout"],
+                   help="dataset split (holdout = the two NetAdapt files, nyu.py:13-24)")
+    p.add_argument("--device-normalize", action="store_true",
+                   help="send uint8 RGB and /255 on device (less host->device transfer)")
     p.add_argument("--csv", default=None, help="append final metrics to this CSV")
     return p.parse_args(argv)
 
@@ -69,7 +73,8 @@ def main(argv=None):
 
     print("=> creating data loaders...")
     valdir = os.path.join(args.data_root, args.data, "val")
-    dataset = NYUDataset(valdir, split="val", modality=args.modality)
+    dataset = NYUDataset(valdir, split=args.split, modality=args.modality,
+                         device_normalize=args.device_normalize)
     loader = BatchLoader(
         dataset, batch_size=args.batch_size, num_workers=args.workers,
         pad_last=True,
