@@ -68,8 +68,9 @@ def _install_unpickle_stubs():
         metrics_mod.AverageMeter = type("AverageMeter", (object,), {})
 
 
-def load_torch_checkpoint(path: str):
-    """Returns (state_dict {name: np.ndarray}, class_name, epoch, best_result).
+def load_torch_checkpoint(path: str, return_decoder_class: bool = False):
+    """Returns (state_dict {name: np.ndarray}, class_name, epoch, best_result)
+    [+ decoder_class_name when requested].
 
     Handles both the dict envelope and a bare pickled module
     (reference main.py:49-57)."""
@@ -115,11 +116,16 @@ def load_torch_checkpoint(path: str):
         # ImageNet-style state_dict checkpoint with DataParallel prefix
         sd = {strip_module_prefix(k): v for k, v in ckpt["state_dict"].items()}
         arrays = {k: v.detach().numpy() for k, v in sd.items()}
+        if return_decoder_class:
+            return arrays, "state_dict", ckpt.get("epoch", 0), None, None
         return arrays, "state_dict", ckpt.get("epoch", 0), None
     else:
         model = ckpt
     sd = model.state_dict()
     arrays = {k: np.asarray(v.detach().numpy()) for k, v in sd.items()}
+    if return_decoder_class:
+        dec_cls = type(getattr(model, "decoder", None)).__name__ if hasattr(model, "decoder") else None
+        return arrays, type(model).__name__, epoch, best_result, dec_cls
     return arrays, type(model).__name__, epoch, best_result
 
 
@@ -236,7 +242,9 @@ def convert_resnet_encoder(sd: Dict[str, np.ndarray], layers: int) -> Dict:
     return params
 
 
-def convert_mobilenet_plain(sd: Dict[str, np.ndarray]) -> Tuple[Dict, ModelConfig]:
+def convert_mobilenet_plain(
+    sd: Dict[str, np.ndarray], decoder_class: Optional[str] = None
+) -> Tuple[Dict, ModelConfig]:
     """Plain MobileNet + NNConv decoder state_dict -> (params, config).
 
     This is the format of the released mobilenet-nnconv5 /
@@ -264,9 +272,12 @@ def convert_mobilenet_plain(sd: Dict[str, np.ndarray]) -> Tuple[Dict, ModelConfi
         decoder[f"stage{i}"] = stage
         dec_channels.append(cout)
     decoder["final"] = {"pw": _conv_bn(sd, "decoder.conv6.0", "decoder.conv6.1")}
+    # NNConv and BLConv have identical state structure; only the pickled
+    # decoder class distinguishes them (models.py:272-294)
+    kind = "blconv" if decoder_class == "BLConv" else "nnconv"
     cfg = ModelConfig(
         encoder="mobilenet",
-        decoder=f"nnconv{k}dw" if dw else f"nnconv{k}",
+        decoder=f"{kind}{k}dw" if dw else f"{kind}{k}",
         skip=None,
         encoder_channels=tuple(enc_channels),
         decoder_channels=tuple(dec_channels),
@@ -281,6 +292,110 @@ def convert_mobilenet_encoder_seqname(sd: Dict[str, np.ndarray]) -> Tuple[Dict, 
         for k, v in sd.items() if k.startswith("mobilenet.")
     }
     return convert_mobilenet_encoder(renamed, seq=True)
+
+
+def convert_registry_decoder(
+    sd: Dict[str, np.ndarray], decoder_class: str, prefix: str = "decoder."
+) -> Tuple[Dict, str]:
+    """Any reference registry decoder (models.py:145-333) under
+    ``prefix`` -> (our decoders.py param tree, decoder name string).
+
+    Torch naming per class: NNConv/BLConv 'conv{1..6}', DeConv
+    'convt{1..5}' + 'convf', UpConv 'upconv{1..5}' + 'convf', UpProj
+    'upproj{1..5}' (branch1/branch2) + 'convf', ShuffleConv 'conv{1..4}'.
+    dw-ness and kernel size are inferred from weight shapes.
+    """
+    P = prefix
+    dec: Dict = {}
+
+    def stage_conv(base):  # dense conv builder Sequential(conv, bn, relu)
+        return {"conv": _conv_bn(sd, f"{base}.0", f"{base}.1")}
+
+    def stage_dwpw(base):  # Sequential(dw Sequential, pw Sequential)
+        return {
+            "dw": _conv_bn(sd, f"{base}.0.0", f"{base}.0.1"),
+            "pw": _conv_bn(sd, f"{base}.1.0", f"{base}.1.1"),
+        }
+
+    if decoder_class in ("NNConv", "BLConv", "ShuffleConv"):
+        dw = f"{P}conv1.0.0.weight" in sd
+        n = 4 if decoder_class == "ShuffleConv" else 5
+        for i in range(1, n + 1):
+            dec[f"conv{i}" if decoder_class == "ShuffleConv" else f"stage{i}"] = (
+                stage_dwpw(f"{P}conv{i}") if dw else stage_conv(f"{P}conv{i}")
+            )
+        if decoder_class != "ShuffleConv":
+            dec["final"] = {"pw": _conv_bn(sd, f"{P}conv6.0", f"{P}conv6.1")}
+        first = dec["conv1" if decoder_class == "ShuffleConv" else "stage1"]
+        w = first["dw"]["w"] if dw else first["conv"]["w"]
+        k = w.shape[0]
+        kind = {"NNConv": "nnconv", "BLConv": "blconv", "ShuffleConv": "shuffle"}[decoder_class]
+        return dec, f"{kind}{k}{'dw' if dw else ''}"
+
+    if decoder_class == "DeConv":
+        dw = f"{P}convt1.0.0.weight" in sd
+        for i in range(1, 6):
+            dec[f"stage{i}"] = (
+                stage_dwpw(f"{P}convt{i}") if dw else stage_conv(f"{P}convt{i}")
+            )
+        dec["final"] = {"pw": _conv_bn(sd, f"{P}convf.0", f"{P}convf.1")}
+        w = dec["stage1"]["dw"]["w"] if dw else dec["stage1"]["conv"]["w"]
+        return dec, f"deconv{w.shape[0]}{'dw' if dw else ''}"
+
+    if decoder_class == "UpConv":
+        # Sequential(Unpool, Conv2d, BN, ReLU): conv at index 1
+        # (models.py:101-107)
+        for i in range(1, 6):
+            dec[f"stage{i}"] = {"conv": _conv_bn(sd, f"{P}upconv{i}.1", f"{P}upconv{i}.2")}
+        dec["final"] = {"pw": _conv_bn(sd, f"{P}convf.0", f"{P}convf.1")}
+        return dec, "upconv"
+
+    if decoder_class == "UpProj":
+        for i in range(1, 6):
+            b = f"{P}upproj{i}"
+            dec[f"stage{i}"] = {
+                "branch1_conv1": _conv_bn(sd, f"{b}.branch1.0", f"{b}.branch1.1"),
+                "branch1_conv2": _conv_bn(sd, f"{b}.branch1.3", f"{b}.branch1.4"),
+                "branch2_conv": _conv_bn(sd, f"{b}.branch2.0", f"{b}.branch2.1"),
+            }
+        dec["final"] = {"pw": _conv_bn(sd, f"{P}convf.0", f"{P}convf.1")}
+        return dec, "upproj"
+
+    raise NotImplementedError(f"no converter for decoder class {decoder_class!r}")
+
+
+def _infer_decoder_channels(decoder: Dict) -> tuple:
+    """Stage output channels from a converted registry-decoder tree."""
+    out = []
+    for i in range(1, 6):
+        stage = decoder.get(f"stage{i}")
+        if stage is None:
+            break
+        if "pw" in stage:
+            out.append(stage["pw"]["w"].shape[-1])
+        elif "conv" in stage:
+            out.append(stage["conv"]["w"].shape[-1])
+        elif "branch2_conv" in stage:
+            out.append(stage["branch2_conv"]["w"].shape[-1])
+    from fastdepth_tpu.config import UNPRUNED_DECODER_CHANNELS
+
+    return tuple(out) if len(out) == 5 else UNPRUNED_DECODER_CHANNELS
+
+
+def convert_resnet_plain(
+    sd: Dict[str, np.ndarray], decoder_class: str
+) -> Tuple[Dict, ModelConfig]:
+    """Plain ``ResNet`` depth model (models.py:363-418): torchvision
+    encoder + biased 1x1 conv2 + any registry decoder."""
+    layers = infer_resnet_layers(sd)
+    decoder, dec_name = convert_registry_decoder(sd, decoder_class)
+    params = {
+        "encoder": convert_resnet_encoder(sd, layers),
+        "conv2": _conv(sd, "conv2"),
+        "decoder": decoder,
+    }
+    cfg = ModelConfig(encoder=f"resnet{layers}", decoder=dec_name, skip=None)
+    return params, cfg
 
 
 def infer_resnet_layers(sd: Dict[str, np.ndarray]) -> int:
@@ -327,7 +442,9 @@ def convert_resnet_depth(
 
 def convert_checkpoint(path: str) -> Tuple[Dict, ModelConfig, Dict]:
     """Full conversion entry point: torch ckpt path -> (params, config, meta)."""
-    sd, class_name, epoch, best_result = load_torch_checkpoint(path)
+    sd, class_name, epoch, best_result, dec_cls = load_torch_checkpoint(
+        path, return_decoder_class=True
+    )
     meta = {"epoch": int(epoch), "source_class": class_name}
     if best_result is not None:
         for f in ("rmse", "mae", "delta1", "absrel", "lg10"):
@@ -341,10 +458,25 @@ def convert_checkpoint(path: str) -> Tuple[Dict, ModelConfig, Dict]:
         params, cfg = convert_resnet_depth(sd, skip="add")
     elif class_name == "ResNetSkipConcat":
         params, cfg = convert_resnet_depth(sd, skip="concat")
+    elif class_name == "ResNet" and dec_cls:
+        params, cfg = convert_resnet_plain(sd, dec_cls)
+    elif (class_name == "MobileNet" or "mobilenet.0.0.weight" in sd) and dec_cls not in (
+        None, "NNConv", "BLConv",
+    ):
+        # plain MobileNet with a non-conv{i}-style registry decoder
+        enc, enc_channels = convert_mobilenet_encoder_seqname(sd)
+        decoder, dec_name = convert_registry_decoder(sd, dec_cls)
+        dec_channels = _infer_decoder_channels(decoder)
+        params = {"encoder": enc, "decoder": decoder}
+        cfg = ModelConfig(
+            encoder="mobilenet", decoder=dec_name, skip=None,
+            encoder_channels=tuple(enc_channels),
+            decoder_channels=dec_channels,
+        )
     elif class_name == "MobileNet" or (
         "mobilenet.0.0.weight" in sd and "decoder.conv1.0.0.weight" in sd
     ) or ("mobilenet.0.0.weight" in sd and "decoder.conv1.0.weight" in sd):
-        params, cfg = convert_mobilenet_plain(sd)
+        params, cfg = convert_mobilenet_plain(sd, decoder_class=dec_cls)
     elif "layer1.0.conv1.weight" in sd and "decode_conv1.0.weight" in sd:
         # structure sniff for resnet skip models: concat widens
         # decode_conv2's input (768 = 512+256 vs 512, models.py:598-602)

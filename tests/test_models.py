@@ -268,3 +268,133 @@ def test_plain_mobilenet_nnconv_converter_parity(dw, tmp_path):
     np.testing.assert_allclose(
         ref, np.asarray(out).transpose(0, 3, 1, 2), atol=5e-4
     )
+
+
+@pytest.mark.parametrize("dec_name,dec_cls", [
+    ("deconv3", "DeConv"), ("deconv3dw", "DeConv"),
+    ("upconv", "UpConv"), ("upproj", "UpProj"), ("blconv3", "BLConv"),
+])
+def test_plain_resnet_registry_decoder_converter(dec_name, dec_cls, tmp_path):
+    """Plain ResNet + every registry decoder style: pickle -> converter ->
+    forward parity (reference models.py:363-418 + the decoder family)."""
+    import torch.nn as nn
+
+    import torch_oracle as TO
+    from fastdepth_tpu.checkpoint.convert import convert_checkpoint
+    from torch_oracle import TorchResNetEncoder
+
+    # compact torch oracle: resnet18 encoder + conv2 + registry decoder
+    from fastdepth_tpu.models.decoders import parse_decoder_name
+
+    kind, k, dw = parse_decoder_name(dec_name)
+    dec = getattr(TO, dec_cls)()
+
+    def cbr(cin, cout, kk):
+        return nn.Sequential(nn.Conv2d(cin, cout, kk, 1, (kk - 1) // 2, bias=False),
+                             nn.BatchNorm2d(cout), nn.ReLU(inplace=True))
+
+    specs = [(1024, 512), (512, 256), (256, 128), (128, 64), (64, 32)]
+    if kind == "deconv":
+        for i, (cin, cout) in enumerate(specs, 1):
+            if dw:
+                sub = nn.Sequential(
+                    nn.Sequential(nn.ConvTranspose2d(cin, cin, k, 2, (k - 1) // 2,
+                                                     k % 2, groups=cin, bias=False),
+                                  nn.BatchNorm2d(cin), nn.ReLU(inplace=True)),
+                    nn.Sequential(nn.Conv2d(cin, cout, 1, bias=False),
+                                  nn.BatchNorm2d(cout), nn.ReLU(inplace=True)))
+            else:
+                sub = nn.Sequential(nn.ConvTranspose2d(cin, cout, k, 2, (k - 1) // 2,
+                                                       k % 2, bias=False),
+                                    nn.BatchNorm2d(cout), nn.ReLU(inplace=True))
+            setattr(dec, f"convt{i}", sub)
+        dec.convf = cbr(32, 1, 1)
+    elif kind == "upconv":
+        for i, (cin, cout) in enumerate(specs, 1):
+            setattr(dec, f"upconv{i}", nn.Sequential(
+                nn.Identity(), nn.Conv2d(cin, cout, 5, 1, 2, bias=False),
+                nn.BatchNorm2d(cout), nn.ReLU()))
+        dec.convf = cbr(32, 1, 1)
+    elif kind == "upproj":
+        for i, (cin, cout) in enumerate(specs, 1):
+            m = nn.Module()
+            m.branch1 = nn.Sequential(
+                nn.Conv2d(cin, cout, 5, 1, 2, bias=False), nn.BatchNorm2d(cout),
+                nn.ReLU(inplace=True),
+                nn.Conv2d(cout, cout, 3, 1, 1, bias=False), nn.BatchNorm2d(cout))
+            m.branch2 = nn.Sequential(
+                nn.Conv2d(cin, cout, 5, 1, 2, bias=False), nn.BatchNorm2d(cout))
+            setattr(dec, f"upproj{i}", m)
+        dec.convf = cbr(32, 1, 1)
+    else:  # blconv dense
+        for i, (cin, cout) in enumerate(specs, 1):
+            setattr(dec, f"conv{i}", cbr(cin, cout, k))
+        dec.conv6 = cbr(32, 1, 1)
+
+    tm = TO.ResNet()
+    enc = TorchResNetEncoder(18)
+    for name in ("conv1", "bn1", "maxpool", "layer1", "layer2", "layer3", "layer4"):
+        setattr(tm, name, getattr(enc, name))
+    tm.conv2 = nn.Conv2d(512, 1024, 1)
+    tm.decoder = dec
+    tm = tm.eval()
+    gen = torch.Generator().manual_seed(10)
+    randomize_bn_stats(tm, gen)
+
+    path = str(tmp_path / "rp.pth.tar")
+    torch.save({"epoch": 3, "best_result": None, "model": tm}, path)
+    params, cfg, _ = convert_checkpoint(path)
+    assert cfg.encoder == "resnet18" and cfg.skip is None
+    assert cfg.decoder == dec_name
+
+    # forward parity: run our model vs a torch composition of the pieces
+    x = torch.randn(1, 3, 64, 64, generator=gen)
+    import torch.nn.functional as TF
+
+    with torch.no_grad():
+        x1 = TF.relu(tm.bn1(tm.conv1(x)))
+        y = tm.maxpool(x1)
+        for s in range(1, 5):
+            y = getattr(tm, f"layer{s}")(y)
+        y = tm.conv2(y)
+        if kind == "deconv":
+            for i in range(1, 6):
+                y = getattr(dec, f"convt{i}")(y)
+            ref = dec.convf(y)
+        elif kind == "upconv":
+
+            def unpool(v):
+                mask = torch.zeros(v.size(1), 1, 2, 2)
+                mask[:, :, 0, 0] = 1
+                return TF.conv_transpose2d(v, mask, stride=2, groups=v.size(1))
+
+            for i in range(1, 6):
+                m = getattr(dec, f"upconv{i}")
+                y = m[3](m[2](m[1](unpool(y))))
+            ref = dec.convf(y)
+        elif kind == "upproj":
+
+            def unpool(v):
+                mask = torch.zeros(v.size(1), 1, 2, 2)
+                mask[:, :, 0, 0] = 1
+                return TF.conv_transpose2d(v, mask, stride=2, groups=v.size(1))
+
+            for i in range(1, 6):
+                m = getattr(dec, f"upproj{i}")
+                u = unpool(y)
+                y = TF.relu(m.branch1(u) + m.branch2(u))
+            ref = dec.convf(y)
+        else:  # blconv
+            for i in range(1, 6):
+                y = getattr(dec, f"conv{i}")(y)
+                y = TF.interpolate(y, scale_factor=2, mode="bilinear",
+                                   align_corners=False)
+            ref = dec.conv6(y)
+        ref = ref.numpy()
+
+    out = build(cfg).apply(
+        numpy_to_jax(params), jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    )
+    np.testing.assert_allclose(
+        ref, np.asarray(out).transpose(0, 3, 1, 2), atol=1e-3
+    )

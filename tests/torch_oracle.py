@@ -297,6 +297,30 @@ class TorchResNetSkip(nn.Module):
         return self.decode_conv6(y)
 
 
+# Pickling-friendly empty shells carrying the reference's class names —
+# tests assemble layers onto instances via setattr (nn.Module pickling
+# restores __dict__, never calls __init__), letting converter dispatch-by-
+# class-name be exercised without reproducing the reference's code.
+class ResNet(nn.Module):
+    pass
+
+
+class DeConv(nn.Module):
+    pass
+
+
+class UpConv(nn.Module):
+    pass
+
+
+class UpProj(nn.Module):
+    pass
+
+
+class BLConv(nn.Module):
+    pass
+
+
 def randomize_bn_stats(model: nn.Module, gen: torch.Generator):
     """Give BN layers nontrivial running stats so eval-mode parity tests
     exercise the real normalization math."""
