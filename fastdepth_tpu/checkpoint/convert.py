@@ -460,8 +460,8 @@ def convert_checkpoint(path: str) -> Tuple[Dict, ModelConfig, Dict]:
         params, cfg = convert_resnet_depth(sd, skip="concat")
     elif class_name == "ResNet" and dec_cls:
         params, cfg = convert_resnet_plain(sd, dec_cls)
-    elif (class_name == "MobileNet" or "mobilenet.0.0.weight" in sd) and dec_cls not in (
-        None, "NNConv", "BLConv",
+    elif (class_name == "MobileNet" or "mobilenet.0.0.weight" in sd) and dec_cls in (
+        "DeConv", "UpConv", "UpProj", "ShuffleConv",
     ):
         # plain MobileNet with a non-conv{i}-style registry decoder
         enc, enc_channels = convert_mobilenet_encoder_seqname(sd)
