@@ -174,3 +174,27 @@ def test_streaming_benchmark_cli(tmp_path, rng, capsys):
     assert result["fps"] > 0
     out = capsys.readouterr().out.strip().splitlines()[-1]
     assert _json.loads(out)["frames"] == 6
+
+
+def test_convert_cli_roundtrip(tmp_path, rng, capsys):
+    """convert CLI: torch pickle -> .npz usable by the eval engine."""
+    from fastdepth_tpu.cli import convert as convert_cli
+    from fastdepth_tpu.cli.evaluate import load_params_and_model
+
+    gen = torch.Generator().manual_seed(3)
+    tm = TorchFastDepth(TINY_ENC, TINY_DEC, skip="add").eval()
+    randomize_bn_stats(tm, gen)
+    src = str(tmp_path / "m.pth.tar")
+    torch.save({"epoch": 5, "best_result": None, "model": tm}, src)
+    dst = str(tmp_path / "m.npz")
+
+    cfg = convert_cli.main([src, dst])
+    assert cfg.encoder_channels == TINY_ENC
+    assert "config" in capsys.readouterr().out
+
+    params, model, meta = load_params_and_model(dst)
+    assert meta["epoch"] == 5
+    import jax.numpy as jnp
+
+    out = model.apply(params, jnp.zeros((1, 64, 64, 3)))
+    assert out.shape == (1, 64, 64, 1)
