@@ -20,7 +20,7 @@ dataloader.py:90-111).
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

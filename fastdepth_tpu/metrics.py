@@ -21,8 +21,7 @@ Cross-chip, the same masked sums reduce with ``jax.lax.psum``.
 from __future__ import annotations
 
 import dataclasses
-import math
-from typing import Dict, List
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ Everything is channel-list parameterized so the NetAdapt-pruned network
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,6 @@ merges them back into the param tree after the step.
 
 from __future__ import annotations
 
-import math
 from typing import Callable, Dict, MutableMapping, Optional, Tuple
 
 import jax

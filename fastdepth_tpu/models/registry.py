@@ -9,7 +9,7 @@ released-model naming, README.md:39-41) are parsed for CLI compatibility.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional
 
 import jax
 

@@ -13,7 +13,7 @@ line up with the dense 5x5 decoder, matching the reference's behavior.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
