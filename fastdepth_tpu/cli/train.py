@@ -37,6 +37,9 @@ def parse_args(argv=None):
     p.add_argument("--print-freq", type=int, default=50)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--mesh-devices", type=int, default=None)
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize the forward in backprop (jax.checkpoint): "
+                        "trades FLOPs for activation memory at large batch/resolution")
     p.add_argument("--output-dir", default="results")
     p.add_argument("--eval-batch-size", type=int, default=8)
     return p.parse_args(argv)
@@ -100,7 +103,7 @@ def main(argv=None):
     print(f"=> {len(train_ds)} train / {len(val_ds)} val images")
 
     mesh = make_mesh(args.mesh_devices) if args.mesh_devices else None
-    trainer = Trainer(model, params, tc, mesh=mesh)
+    trainer = Trainer(model, params, tc, mesh=mesh, remat=args.remat)
 
     os.makedirs(args.output_dir, exist_ok=True)
     train_csv = os.path.join(args.output_dir, "train.csv")

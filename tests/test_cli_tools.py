@@ -120,7 +120,7 @@ def _args(tmp_path):
         arch="mobilenet-nnconv5dw-skipadd", pretrained_encoder=None,
         epochs=1, batch_size=2, lr=0.01, momentum=0.9, weight_decay=1e-4,
         lr_decay_step=5, lr_decay_gamma=0.2, workers=2, print_freq=1,
-        seed=0, mesh_devices=None, output_dir=str(tmp_path / "out"),
+        seed=0, mesh_devices=None, remat=False, output_dir=str(tmp_path / "out"),
         eval_batch_size=2,
     )
 
