@@ -13,19 +13,39 @@
 #include <cstdint>
 #include <cstring>
 
+namespace {
+
+// u8 -> [0,1] f32 lookup table.  Function-local static of a class type:
+// C++11 guarantees thread-safe one-time construction, so concurrent calls
+// from the loader's thread pool are race-free (a hand-rolled bool flag
+// would not be).
+struct U8ToUnitF32 {
+    float v[256];
+    U8ToUnitF32() {
+        for (int i = 0; i < 256; ++i) v[i] = static_cast<float>(i) / 255.0f;
+    }
+};
+
+const float* unit_lut() {
+    static const U8ToUnitF32 lut;
+    return lut.v;
+}
+
+}  // namespace
+
 extern "C" {
+
+// ABI version handshake: the Python loader refuses a stale build whose
+// version doesn't match (the .so is NOT version-controlled; it is built
+// locally with `make -C csrc`).  Bump when any signature below changes.
+int64_t fd_abi_version() { return 2; }
 
 // rgb uint8 HWC -> gathered float32 HWC in [0, 1]
 // dst[oh, ow, c] = src[rows[oh], cols[ow], c] / 255
 void fd_gather_rgb_f32(const uint8_t* src, int64_t src_h, int64_t src_w,
                        const int64_t* rows, const int64_t* cols,
                        int64_t out_h, int64_t out_w, float* dst) {
-    static float lut[256];
-    static bool lut_init = false;
-    if (!lut_init) {
-        for (int i = 0; i < 256; ++i) lut[i] = static_cast<float>(i) / 255.0f;
-        lut_init = true;
-    }
+    const float* lut = unit_lut();
     for (int64_t oh = 0; oh < out_h; ++oh) {
         const uint8_t* row = src + rows[oh] * src_w * 3;
         float* out = dst + oh * out_w * 3;

@@ -73,7 +73,16 @@ def load_torch_checkpoint(path: str, return_decoder_class: bool = False):
     [+ decoder_class_name when requested].
 
     Handles both the dict envelope and a bare pickled module
-    (reference main.py:49-57)."""
+    (reference main.py:49-57).
+
+    .. warning:: **Trusted checkpoints only.**  The reference format is a
+       full-module pickle, so deserializing it executes arbitrary code by
+       construction (``torch.load(weights_only=False)`` is unavoidable
+       here).  Only convert checkpoints you obtained from a source you
+       trust — e.g. the reference's published download links.  This is a
+       property of the reference's format, not of this converter; the
+       native ``.npz`` checkpoints this framework writes are data-only.
+    """
     import torch
     import torch.nn as nn
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
@@ -61,7 +62,15 @@ def save_checkpoint(
         "extra": extra or {},
         "format_version": 1,
     }
-    np.savez(path, __meta__=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8), **flat)
+    # atomic: a crash mid-save must not corrupt an existing checkpoint
+    # (this is the resume file) — write a temp sibling, then os.replace
+    final = str(path) if str(path).endswith(".npz") else str(path) + ".npz"
+    tmp = final + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, __meta__=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8), **flat)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, final)
 
 
 def load_checkpoint(path: str) -> Tuple[Dict, ModelConfig, Dict[str, Any]]:

@@ -16,7 +16,9 @@ import json
 
 def main(argv=None):
     p = argparse.ArgumentParser(description="torch checkpoint -> fastdepth-tpu .npz")
-    p.add_argument("input", help="reference .pth[.tar] checkpoint (full-module pickle)")
+    p.add_argument("input",
+                   help="reference .pth[.tar] checkpoint (full-module pickle; "
+                        "unpickling executes code — TRUSTED sources only)")
     p.add_argument("output", help="output .npz path")
     p.add_argument("--quiet", action="store_true")
     args = p.parse_args(argv)

@@ -5,7 +5,9 @@ Usage:
     python -m fastdepth_tpu.cli.evaluate --evaluate CKPT [--data nyudepthv2] ...
 
 CKPT may be a native .npz checkpoint or a reference PyTorch .pth[.tar]
-pickle (converted on the fly via checkpoint/convert.py).  TPU-native
+pickle (converted on the fly via checkpoint/convert.py — unpickling a
+full-module checkpoint executes code, so pass TRUSTED .pth files only;
+the reference format leaves no safe alternative).  TPU-native
 extras over the reference CLI: --batch-size, --bf16, --mesh-devices,
 --no-fold-bn.
 """

@@ -1,0 +1,231 @@
+"""Per-layer time attribution + roofline for the FastDepth forward pass.
+
+The reference's only "profile" is two wall-clock pairs with the device
+syncs commented out (reference main.py:69-77).  This tool attributes
+real device time per layer on the actual chip, two ways:
+
+* ``--mode prefix`` (default, transport-robust): jit the forward truncated
+  after layer k for every k, time each pipelined (engine/benchmark.py's
+  scalar-fetch sync — block_until_ready lies on some transports), and
+  difference consecutive prefixes.  Prefix timing survives XLA fusion
+  reordering because each prefix is a complete program.
+* ``--trace DIR``: additionally capture a ``jax.profiler`` device trace
+  around the full forward for TensorBoard/Perfetto.
+
+Each layer also gets a roofline estimate: MACs, HBM bytes (activations +
+weights, assuming perfect fusion), and the max(MXU, VPU, HBM) time bound,
+so "measured vs bound" says which layers leave the chip idle.
+
+Usage:
+    python -m fastdepth_tpu.cli.profile [--batch 128] [--bf16] [--json OUT]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+# v5e single-chip peaks (public spec): 197 bf16 TFLOP/s MXU, 819 GB/s HBM.
+# VPU peak is ~8 lanes x 128 sublanes x 2 (FMA) x 4 units x ~1.5 GHz.
+MXU_FLOPS = 197e12
+VPU_FLOPS = 12e12
+HBM_BPS = 819e9
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="per-layer profile + roofline")
+    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--image-size", type=int, default=224)
+    p.add_argument("--calls", type=int, default=30)
+    p.add_argument("--json", default=None, help="write the table to this JSON file")
+    p.add_argument("--trace", default=None, help="also write a jax.profiler trace here")
+    p.add_argument("--model", default="pruned", choices=["pruned", "unpruned"])
+    return p.parse_args(argv)
+
+
+def prefix_points(cfg):
+    """(label, kind) per attribution point: encoder stem + 13 blocks,
+    5 decoder stages (conv+upsample+skip), final head."""
+    pts = [("enc.conv0", "stem")]
+    pts += [(f"enc.conv{i}", "enc_block") for i in range(1, 14)]
+    pts += [(f"dec.stage{i}", "dec_stage") for i in range(1, 6)]
+    pts += [("dec.head", "head")]
+    return pts
+
+
+def make_prefix_fn(model, cfg, upto: int):
+    """Forward truncated after attribution point `upto` (1-based count of
+    prefix_points), reduced to a scalar so the sync fetch is O(1)."""
+    import jax.numpy as jnp
+
+    from fastdepth_tpu.models import layers as L
+    from fastdepth_tpu.ops import blocks as B
+    from fastdepth_tpu.config import MOBILENET_STRIDES
+
+    def fn(params, x):
+        n = 0
+        act = B.relu6 if cfg.encoder_relu6 else B.relu
+        enc = params["encoder"]
+        y = L.apply_conv_bn(x, enc["conv0"], stride=2, act=act)
+        n += 1
+        tapped = {}
+        if n >= upto:
+            return jnp.sum(y, dtype=jnp.float32)
+        for i in range(1, 14):
+            p = enc[f"conv{i}"]
+            y = L.apply_conv_bn(y, p["dw"], stride=MOBILENET_STRIDES[i - 1],
+                                act=act, depthwise=True)
+            y = L.apply_conv_bn(y, p["pw"], act=act)
+            if i in (1, 3, 5):
+                tapped[i] = y
+            n += 1
+            if n >= upto:
+                return jnp.sum(y, dtype=jnp.float32)
+        dec = params["decoder"]
+        for i in range(1, 6):
+            p = dec[f"decode_conv{i}"]
+            y = L.apply_conv_bn(y, p["dw"], depthwise=True)
+            y = L.apply_conv_bn(y, p["pw"])
+            y = B.upsample_nearest2x(y)
+            if cfg.skip == "add":
+                if i == 2:
+                    y = y + tapped[5]
+                elif i == 3:
+                    y = y + tapped[3]
+                elif i == 4:
+                    y = y + tapped[1]
+            n += 1
+            if n >= upto:
+                return jnp.sum(y, dtype=jnp.float32)
+        y = L.apply_conv_bn(y, dec["decode_conv6"]["pw"])
+        return jnp.sum(y, dtype=jnp.float32)
+
+    return fn
+
+
+def layer_roofline(cfg, batch: int, hw: int, dtype_bytes: int):
+    """Per-attribution-point (macs, hbm_bytes, bound_s) estimates."""
+    enc = cfg.encoder_channels
+    dec = cfg.decoder_channels
+    strides = (1, 2, 1, 2, 1, 2, 1, 1, 1, 1, 1, 2, 1)
+    rows = []
+    h = hw // 2  # after stem
+    # stem: 3x3x3 dense conv, stride 2
+    macs = h * h * enc[0] * 3 * 3 * 3
+    byts = (hw * hw * 3 + h * h * enc[0]) * dtype_bytes
+    rows.append(("enc.conv0", macs, byts, macs * 2 / MXU_FLOPS))
+    cin = enc[0]
+    for i in range(1, 14):
+        s = strides[i - 1]
+        h_out = h // s
+        dw_macs = h_out * h_out * cin * 9
+        pw_macs = h_out * h_out * cin * enc[i]
+        macs = dw_macs + pw_macs
+        byts = (h * h * cin + h_out * h_out * cin + h_out * h_out * enc[i]) * dtype_bytes \
+            + (cin * 9 + cin * enc[i]) * dtype_bytes
+        t = max(dw_macs / VPU_FLOPS, pw_macs * 2 / MXU_FLOPS)
+        rows.append((f"enc.conv{i}", macs, byts, t))
+        cin = enc[i]
+        h = h_out
+    for i, cout in enumerate(dec, start=1):
+        dw_macs = h * h * cin * 25
+        pw_macs = h * h * cin * cout
+        macs = dw_macs + pw_macs
+        h2 = h * 2
+        byts = (h * h * cin * 2 + h2 * h2 * cout * 2) * dtype_bytes \
+            + (cin * 25 + cin * cout) * dtype_bytes
+        t = max(dw_macs / VPU_FLOPS, pw_macs * 2 / MXU_FLOPS)
+        rows.append((f"dec.stage{i}", macs, byts, t))
+        cin = cout
+        h = h2
+    macs = h * h * cin * 1
+    byts = (h * h * cin + h * h) * dtype_bytes
+    rows.append(("dec.head", macs, byts, macs * 2 / MXU_FLOPS))
+    return [
+        (name, batch * m, batch * b,
+         max(t * batch, batch * b / HBM_BPS))
+        for name, m, b, t in rows
+    ]
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from fastdepth_tpu.engine.benchmark import time_pipelined
+    from fastdepth_tpu.models import fastdepth_pruned, fastdepth_unpruned
+
+    model = fastdepth_pruned() if args.model == "pruned" else fastdepth_unpruned()
+    cfg = model.config
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    params = model.fold(model.init(jax.random.PRNGKey(0)))
+    params = jax.tree.map(lambda a: a.astype(dtype), params)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(args.batch, args.image_size, args.image_size, 3), dtype)
+
+    pts = prefix_points(cfg)
+    roof = layer_roofline(cfg, args.batch, args.image_size,
+                          2 if args.bf16 else 4)
+
+    # full model first (the reference number)
+    full = jax.jit(lambda p, a: jnp.sum(model.apply(p, a), dtype=jnp.float32))
+    t_full = time_pipelined(full, (params, x), warmup=3, calls=args.calls)["mean_s"]
+    print(f"full forward: {t_full * 1e6:.0f} us/call, "
+          f"{args.batch / t_full:.0f} fps (b{args.batch}, "
+          f"{'bf16' if args.bf16 else 'fp32'})")
+
+    if args.trace:
+        from fastdepth_tpu.engine.profiler import trace
+
+        with trace(args.trace):
+            for _ in range(3):
+                out = full(params, x)
+            float(out)
+        print(f"trace written to {args.trace}")
+
+    cum = []
+    for k in range(1, len(pts) + 1):
+        fn = jax.jit(make_prefix_fn(model, cfg, k))
+        t = time_pipelined(fn, (params, x), warmup=2, calls=args.calls)["mean_s"]
+        cum.append(t)
+        print(f"  prefix {k:2d} ({pts[k - 1][0]:<12}): cum {t * 1e6:8.1f} us")
+
+    table = []
+    prev = 0.0
+    print(f"\n{'layer':<12} {'meas us':>9} {'bound us':>9} {'x-bound':>8} "
+          f"{'MACs(M)':>9} {'MB':>7}")
+    for (name, _kind), t, (rname, macs, byts, bound) in zip(pts, cum, roof):
+        dt = t - prev
+        prev = t
+        ratio = dt / bound if bound > 0 else float("inf")
+        table.append({
+            "layer": name, "measured_us": dt * 1e6, "bound_us": bound * 1e6,
+            "x_bound": ratio, "macs": macs, "hbm_bytes": byts,
+        })
+        print(f"{name:<12} {dt * 1e6:>9.1f} {bound * 1e6:>9.1f} {ratio:>8.2f} "
+              f"{macs / 1e6:>9.1f} {byts / 1e6:>7.2f}")
+    total_bound = sum(r[3] for r in roof)
+    print(f"\nsum of bounds: {total_bound * 1e6:.0f} us; measured full: "
+          f"{t_full * 1e6:.0f} us; prefix-sum: {cum[-1] * 1e6:.0f} us")
+
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump({
+                "batch": args.batch, "dtype": "bf16" if args.bf16 else "fp32",
+                "model": args.model,
+                "full_us": t_full * 1e6, "fps": args.batch / t_full,
+                "layers": table,
+                "peaks": {"mxu_flops": MXU_FLOPS, "vpu_flops": VPU_FLOPS,
+                          "hbm_bps": HBM_BPS},
+            }, f, indent=1)
+        print(f"json -> {args.json}")
+    return table
+
+
+if __name__ == "__main__":
+    main()

@@ -32,6 +32,15 @@ def load_library() -> Optional[ctypes.CDLL]:
     if path is None:
         return None
     lib = ctypes.CDLL(path)
+    # ABI handshake: a stale locally-built .so (or one missing the version
+    # symbol entirely) silently diverging from preprocess.cpp is worse than
+    # the numpy fallback — refuse it.
+    try:
+        lib.fd_abi_version.restype = ctypes.c_int64
+        if lib.fd_abi_version() != 2:
+            return None
+    except AttributeError:
+        return None
     i64 = ctypes.c_int64
     u8p = ctypes.POINTER(ctypes.c_uint8)
     f32p = ctypes.POINTER(ctypes.c_float)

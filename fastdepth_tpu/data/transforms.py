@@ -209,8 +209,7 @@ class ColorJitter:
         self.saturation = saturation
         self.hue = hue
 
-    def __call__(self, img: np.ndarray, rng: Optional[np.random.RandomState] = None) -> np.ndarray:
-        rng = rng or np.random.random.__self__  # global state fallback
+    def __call__(self, img: np.ndarray, rng: np.random.RandomState) -> np.ndarray:
         ops = []
         if self.brightness > 0:
             f = rng.uniform(max(0, 1 - self.brightness), 1 + self.brightness)

@@ -35,6 +35,75 @@ def _stage_shapes(cfg) -> List[Dict]:
     return shapes
 
 
+def _encoder_op_shapes(cfg) -> List[Dict]:
+    """Per-op encoder shapes at 224x224 — every conv the reference's
+    AutoTVM logs cover (stem + dw/pw per block, reference
+    tvm_compile/tuning/*.log tasks; strides from MOBILENET_STRIDES)."""
+    from fastdepth_tpu.config import MOBILENET_STRIDES
+
+    enc = cfg.encoder_channels
+    shapes = [{"op": "stem", "h": 224, "w": 224, "cin": cfg.in_channels,
+               "cout": enc[0], "k": 3, "stride": 2}]
+    h = 112
+    cin = enc[0]
+    for i in range(1, 14):
+        s = MOBILENET_STRIDES[i - 1]
+        shapes.append({"op": f"conv{i}.dw", "h": h, "w": h, "cin": cin,
+                       "cout": cin, "k": 3, "stride": s})
+        h //= s
+        shapes.append({"op": f"conv{i}.pw", "h": h, "w": h, "cin": cin,
+                       "cout": enc[i], "k": 1, "stride": 1})
+        cin = enc[i]
+    return shapes
+
+
+def tune_encoder(
+    cfg,
+    *,
+    batch: int = 32,
+    dtypes=("bfloat16", "float32"),
+    warmup: int = 2,
+    calls: int = 20,
+) -> List[Dict]:
+    """Per-op XLA timings for every encoder conv (the reference tunes
+    every conv task per model; there is no Pallas encoder kernel — XLA's
+    fused NHWC conv stack is the measured production path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fastdepth_tpu.engine.benchmark import time_pipelined
+    from fastdepth_tpu.ops import blocks as B
+
+    rng = np.random.RandomState(0)
+    records = []
+    for spec in _encoder_op_shapes(cfg):
+        h, w, cin, cout, k, s = (spec[x] for x in ("h", "w", "cin", "cout", "k", "stride"))
+        depthwise = spec["op"].endswith(".dw")
+        for dtype_name in dtypes:
+            dtype = getattr(jnp, dtype_name)
+            x = jnp.asarray(rng.rand(batch, h, w, cin), dtype)
+            wshape = (k, k, 1, cin) if depthwise else (k, k, cin, cout)
+            wgt = jnp.asarray(rng.rand(*wshape) * 0.1, dtype)
+            b = jnp.asarray(rng.rand(cout) * 0.1, dtype)
+
+            if depthwise:
+                fn = lambda x, wgt=wgt, b=b, s=s: B.relu6(
+                    B.depthwise_conv2d(x, wgt, stride=s, bias=b))
+            else:
+                fn = lambda x, wgt=wgt, b=b, s=s: B.relu6(
+                    B.conv2d(x, wgt, stride=s, bias=b))
+            rec = dict(spec, dtype=dtype_name, batch=batch)
+            try:
+                stats = time_pipelined(jax.jit(fn), (x,), warmup=warmup, calls=calls)
+                rec["xla_ms"] = round(stats["mean_s"] * 1e3, 4)
+            except Exception as e:
+                rec["xla_ms"] = None
+                rec["xla_error"] = f"{type(e).__name__}"
+            rec["winner"] = "xla" if rec["xla_ms"] is not None else None
+            records.append(rec)
+    return records
+
+
 def tune_decoder(
     cfg,
     *,
@@ -43,17 +112,20 @@ def tune_decoder(
     warmup: int = 2,
     calls: int = 20,
     out_path: Optional[str] = None,
+    with_pallas: bool = True,
 ) -> Dict:
     """Times XLA vs Pallas per decoder stage; returns (and optionally
-    writes) the tuning record."""
+    writes) the tuning record.  Dense (non-depthwise) decoders have no
+    Pallas kernel — XLA-only records, like the reference's dense logs."""
     import jax
     import jax.numpy as jnp
 
     from fastdepth_tpu.engine.benchmark import time_pipelined
-    from fastdepth_tpu.models import layers as L
     from fastdepth_tpu.ops import blocks as B
     from fastdepth_tpu.ops.pallas.fused_decoder import fused_decoder_stage
 
+    k = cfg.decoder_kernel
+    depthwise = cfg.decoder_depthwise
     rng = np.random.RandomState(0)
     records = []
     for spec in _stage_shapes(cfg):
@@ -61,24 +133,39 @@ def tune_decoder(
         for dtype_name in dtypes:
             dtype = getattr(jnp, dtype_name)
             x = jnp.asarray(rng.rand(batch, h, w, cin), dtype)
-            dw_w = jnp.asarray(rng.rand(5, 5, 1, cin) * 0.1, dtype)
-            dw_b = jnp.asarray(rng.rand(cin) * 0.1, dtype)
-            pw_w = jnp.asarray(rng.rand(1, 1, cin, cout) * 0.1, dtype)
-            pw_b = jnp.asarray(rng.rand(cout) * 0.1, dtype)
             skip = (jnp.asarray(rng.rand(batch, 2 * h, 2 * w, cout), dtype)
-                    if spec["skip"] else None)
+                    if spec["skip"] and cfg.skip else None)
+            if depthwise:
+                dw_w = jnp.asarray(rng.rand(k, k, 1, cin) * 0.1, dtype)
+                dw_b = jnp.asarray(rng.rand(cin) * 0.1, dtype)
+                pw_w = jnp.asarray(rng.rand(1, 1, cin, cout) * 0.1, dtype)
+                pw_b = jnp.asarray(rng.rand(cout) * 0.1, dtype)
 
-            def xla_path(x, skip=skip):
-                y = B.relu(B.depthwise_conv2d(x, dw_w, bias=dw_b))
-                y = B.relu(B.conv2d(y, pw_w, bias=pw_b))
-                y = B.upsample_nearest2x(y)
-                return y + skip if skip is not None else y
+                def xla_path(x, skip=skip):
+                    y = B.relu(B.depthwise_conv2d(x, dw_w, bias=dw_b))
+                    y = B.relu(B.conv2d(y, pw_w, bias=pw_b))
+                    y = B.upsample_nearest2x(y)
+                    return y + skip if skip is not None else y
 
-            def pallas_path(x, skip=skip):
-                return fused_decoder_stage(x, dw_w, dw_b, pw_w, pw_b, skip)
+                def pallas_path(x, skip=skip):
+                    return fused_decoder_stage(x, dw_w, dw_b, pw_w, pw_b, skip)
+
+                impls = [("xla", xla_path)]
+                if with_pallas and k == 5:  # kernel is dw5x5-specific
+                    impls.append(("pallas", pallas_path))
+            else:
+                c_w = jnp.asarray(rng.rand(k, k, cin, cout) * 0.1, dtype)
+                c_b = jnp.asarray(rng.rand(cout) * 0.1, dtype)
+
+                def xla_path(x, skip=skip):
+                    y = B.relu(B.conv2d(x, c_w, bias=c_b))
+                    y = B.upsample_nearest2x(y)
+                    return y + skip if skip is not None else y
+
+                impls = [("xla", xla_path)]
 
             rec = dict(spec, dtype=dtype_name, batch=batch)
-            for name, fn in (("xla", xla_path), ("pallas", pallas_path)):
+            for name, fn in impls:
                 try:
                     jfn = jax.jit(fn)
                     stats = time_pipelined(jfn, (x,), warmup=warmup, calls=calls)
@@ -86,16 +173,48 @@ def tune_decoder(
                 except Exception as e:
                     rec[f"{name}_ms"] = None
                     rec[f"{name}_error"] = f"{type(e).__name__}"
-            times = {k: rec[f"{k}_ms"] for k in ("xla", "pallas")
-                     if rec.get(f"{k}_ms") is not None}
+            times = {k2: rec[f"{k2}_ms"] for k2 in ("xla", "pallas")
+                     if rec.get(f"{k2}_ms") is not None}
             rec["winner"] = min(times, key=times.get) if times else None
             records.append(rec)
 
     result = {
         "config": {"encoder_channels": list(cfg.encoder_channels),
-                   "decoder_channels": list(cfg.decoder_channels)},
+                   "decoder_channels": list(cfg.decoder_channels),
+                   "decoder": cfg.decoder, "skip": cfg.skip},
         "device": str(_device_kind()),
         "records": records,
+    }
+    if out_path:
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        with open(out_path, "w") as f:
+            json.dump(result, f, indent=1)
+    return result
+
+
+def tune_model(
+    cfg,
+    *,
+    batch_enc: int = 32,
+    batch_dec: int = 4,
+    dtypes=("bfloat16", "float32"),
+    warmup: int = 2,
+    calls: int = 20,
+    out_path: Optional[str] = None,
+    with_pallas: bool = True,
+) -> Dict:
+    """Full tuning record: every encoder conv op + every decoder stage —
+    the breadth of one reference AutoTVM log (all conv tasks of one
+    model, tvm_compile/tuning/*.log)."""
+    dec = tune_decoder(cfg, batch=batch_dec, dtypes=dtypes, warmup=warmup,
+                       calls=calls, with_pallas=with_pallas)
+    enc = tune_encoder(cfg, batch=batch_enc, dtypes=dtypes, warmup=warmup,
+                       calls=calls)
+    result = {
+        "config": dec["config"],
+        "device": dec["device"],
+        "encoder_records": enc,
+        "records": dec["records"],
     }
     if out_path:
         os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)

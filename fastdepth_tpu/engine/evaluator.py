@@ -46,7 +46,6 @@ class Evaluator:
         dtype=jnp.float32,
         mesh=None,
         fold_bn: bool = True,
-        donate: bool = False,
     ):
         self.model = model
         self.batch_size = batch_size
@@ -118,7 +117,6 @@ def validate(
     (main.py:63-126)."""
     meter = M.AverageMeter()
     img_merge = None
-    rows_added = 0
     seen = 0
     end = time.time()
 
@@ -144,7 +142,9 @@ def validate(
             prev = nxt
 
     for rgb, depth, count, pred, batch_metrics, t0 in one_ahead(submitted()):
-        data_time = t0 - end
+        # with the one-ahead pipeline, batch k+1's t0 can precede batch
+        # k's handling — clamp so data_time never goes negative in the CSV
+        data_time = max(0.0, t0 - end)
         # host materialization doubles as the device sync: on some PJRT
         # transports block_until_ready returns early (engine/benchmark.py)
         stacked = np.asarray(batch_metrics)  # (num_fields, N), one fetch
@@ -162,7 +162,6 @@ def validate(
                         np.asarray(rgb[i]), np.asarray(depth[i]), np.asarray(pred[i])
                     )
                     img_merge = row if img_merge is None else viz.add_row(img_merge, row)
-                    rows_added += 1
                 elif gi == 8 * 50 and img_merge is not None:
                     viz.save_image(img_merge, os.path.join(output_dir, f"comparison_{epoch}.png"))
         seen += count

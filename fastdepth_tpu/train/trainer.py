@@ -91,13 +91,37 @@ def make_train_step(
             finite = jnp.isfinite(loss)
             for g in jax.tree.leaves(grads):
                 finite = finite & jnp.all(jnp.isfinite(g))
-            grads = jax.tree.map(lambda g: jnp.where(finite, g, 0.0), grads)
             lr = jnp.where(finite, lr, 0.0)
+            # BN running stats from a non-finite forward must not be
+            # merged — replace each stats leaf with its current value
+            # so the skipped step leaves params bit-identical.
+            def _current(path_tuple):
+                node = state.params
+                for k in path_tuple:
+                    node = node[k]
+                return node
+
+            stats = {
+                pt: {
+                    k: jnp.where(finite, v, _current(pt)[k])
+                    for k, v in entry.items()
+                }
+                for pt, entry in stats.items()
+            }
+        else:
+            finite = jnp.ones((), jnp.bool_)
 
         def update(path, p, g, m):
+            # weight decay BEFORE the finite gate: on a skipped step the
+            # effective grad (incl. decay) must be exactly zero so the
+            # momentum buffer doesn't absorb wd*p.
             if cfg.weight_decay and _is_weight(path):
                 g = g + cfg.weight_decay * p
-            m_new = cfg.momentum * m + g
+            if skip_nonfinite:
+                g = jnp.where(finite, g, jnp.zeros_like(g))
+                m_new = jnp.where(finite, cfg.momentum * m + g, m)
+            else:
+                m_new = cfg.momentum * m + g
             return p - lr * m_new, m_new
 
         flat = jax.tree_util.tree_flatten_with_path(state.params)[0]
@@ -165,7 +189,11 @@ class Trainer:
 
     def run_epoch(self, loader, epoch: int, log=print, print_freq: int = 50):
         lr = step_lr(self.cfg, epoch)
-        total, n = 0.0, 0
+        # accumulate the loss ON DEVICE — a float(loss) each step would
+        # serialize host and device and bound mesh scaling; the scalar is
+        # fetched only at print_freq boundaries and at epoch end
+        total = None
+        n = 0
         for i, (rgb, depth, count) in enumerate(loader):
             if self.mesh is not None:
                 from fastdepth_tpu.parallel.mesh import put_sharded
@@ -173,8 +201,8 @@ class Trainer:
                 rgb = put_sharded(rgb, self.mesh)
                 depth = put_sharded(depth, self.mesh)
             self.state, loss = self._step(self.state, jnp.asarray(rgb), jnp.asarray(depth), lr)
-            total += float(loss)
+            total = loss if total is None else total + loss
             n += 1
             if print_freq and (i + 1) % print_freq == 0:
-                log(f"Epoch {epoch} [{i + 1}/{len(loader)}] loss={total / n:.4f} lr={lr:.4g}")
-        return total / max(n, 1)
+                log(f"Epoch {epoch} [{i + 1}/{len(loader)}] loss={float(total) / n:.4f} lr={lr:.4g}")
+        return float(total) / n if n else 0.0

@@ -45,6 +45,40 @@ def test_save_load_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(w1, params2["encoder"]["conv0"]["w"])
 
 
+def test_save_is_atomic(tmp_path, monkeypatch):
+    """A crash mid-save must leave an existing checkpoint intact: the
+    write goes to a temp sibling and lands via os.replace."""
+    import fastdepth_tpu.checkpoint.io as io
+
+    cfg = ModelConfig(encoder_channels=TINY_ENC, decoder_channels=TINY_DEC)
+    model = build(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, params, cfg, epoch=1)
+
+    real_savez = np.savez
+
+    def crashing_savez(f, **kw):
+        real_savez(f, **kw)  # bytes hit the temp file...
+        raise RuntimeError("simulated crash before rename")
+
+    monkeypatch.setattr(np, "savez", crashing_savez)
+    try:
+        save_checkpoint(path, params, cfg, epoch=2)
+    except RuntimeError:
+        pass
+    monkeypatch.undo()
+    # the original file is untouched and loadable; no temp junk survives a
+    # retry (the .tmp sibling may exist after the crash — that's fine)
+    _, _, meta = load_checkpoint(path)
+    assert meta["epoch"] == 1
+
+    # suffixless path gets .npz appended (np.savez-compatible behavior)
+    save_checkpoint(str(tmp_path / "bare"), params, cfg, epoch=5)
+    _, _, meta = load_checkpoint(str(tmp_path / "bare.npz"))
+    assert meta["epoch"] == 5
+
+
 def test_loaded_checkpoint_runs(tmp_path, rng):
     import jax.numpy as jnp
 

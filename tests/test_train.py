@@ -131,6 +131,29 @@ def test_mesh_training_matches_single_device(rng):
     assert "MESH_EQUIV_OK" in proc.stdout, proc.stdout + proc.stderr
 
 
+def test_mesh_training_flagship_shape(rng):
+    """The REAL flagship config (FASTDEPTH_PRUNED, 224x224) trains
+    data-parallel on the 8-device mesh — toy shapes don't prove VMEM/
+    layout behavior at production shape (VERDICT r1 #5)."""
+    from fastdepth_tpu.config import FASTDEPTH_PRUNED
+    from fastdepth_tpu.parallel import make_mesh
+    from fastdepth_tpu.parallel.mesh import put_sharded
+
+    model = build(FASTDEPTH_PRUNED)
+    params = model.init(jax.random.PRNGKey(0))
+    mesh = make_mesh(8)
+    trainer = Trainer(model, params, TrainConfig(lr=0.01), mesh=mesh, remat=True)
+    rgb = put_sharded(jnp.asarray(rng.rand(8, 224, 224, 3), jnp.float32), mesh)
+    depth = put_sharded(
+        jnp.asarray(rng.rand(8, 224, 224, 1) * 5 + 0.5, jnp.float32), mesh)
+    losses = []
+    for _ in range(2):
+        trainer.state, loss = trainer._step(
+            trainer.state, rgb, depth, jnp.float32(0.01))
+        losses.append(float(loss))
+    assert all(np.isfinite(l) for l in losses)
+
+
 def test_step_lr_schedule():
     tc = TrainConfig(lr=0.01, lr_decay_step=5, lr_decay_gamma=0.2)
     assert step_lr(tc, 0) == 0.01
@@ -158,16 +181,27 @@ def test_remat_step_matches_plain(rng):
 
 
 def test_nonfinite_batch_skipped(rng):
-    """A NaN batch must not poison the weights (failure isolation)."""
+    """A NaN batch must leave the ENTIRE state bit-identical: weights,
+    BN running stats (merge gated on `finite`) and momentum (which must
+    not absorb the weight-decay term on a skipped step)."""
     model = build(CFG)
     params = model.init(jax.random.PRNGKey(3))
-    tc = TrainConfig(lr=0.05, weight_decay=0.0)
+    tc = TrainConfig(lr=0.05, weight_decay=1e-3)  # wd>0: the momentum trap
     step = jax.jit(make_train_step(model, tc))
     state = sgd_init(params)
     rgb, depth = _data(rng)
     bad_rgb = rgb.at[0, 0, 0, 0].set(jnp.nan)
-    before = np.asarray(state.params["encoder"]["conv0"]["w"])
+    before_p = jax.tree.map(np.asarray, state.params)
+    before_m = jax.tree.map(np.asarray, state.momentum)
     state, loss = step(state, bad_rgb, depth, jnp.float32(0.05))
-    after = np.asarray(state.params["encoder"]["conv0"]["w"])
     assert not np.isfinite(float(loss))
-    np.testing.assert_array_equal(before, after)  # update skipped
+    for old, new in zip(jax.tree.leaves(before_p), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(old, np.asarray(new))
+    for old, new in zip(jax.tree.leaves(before_m), jax.tree.leaves(state.momentum)):
+        np.testing.assert_array_equal(old, np.asarray(new))
+    # and a subsequent good batch still trains
+    state, loss2 = step(state, rgb, depth, jnp.float32(0.05))
+    assert np.isfinite(float(loss2))
+    assert not np.allclose(
+        np.asarray(state.params["encoder"]["conv0"]["w"]),
+        before_p["encoder"]["conv0"]["w"])
