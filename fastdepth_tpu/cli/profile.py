@@ -154,7 +154,14 @@ def layer_roofline(cfg, batch: int, hw: int, dtype_bytes: int):
 def main(argv=None):
     args = parse_args(argv)
 
+    import os
+
     import jax
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    jax.config.update("jax_compilation_cache_dir", os.path.join(repo, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from fastdepth_tpu.engine.benchmark import time_pipelined

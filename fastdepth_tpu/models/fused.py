@@ -104,6 +104,46 @@ def apply_fastdepth_fused_v2(
     return B.relu(B.conv2d(y, head["w"], bias=head["b"]))
 
 
+def apply_fastdepth_fused_v3(
+    params: Dict,
+    x: Array,
+    cfg: ModelConfig,
+    *,
+    block_batches: Dict[int, int] | None = None,
+    interpret: bool = False,
+) -> Array:
+    """Fused decoder via the single-grid-step manual-DMA kernels.
+
+    Each stage is ONE pallas_call with grid=() that walks the whole batch
+    with a private double-buffered DMA pipeline — no automatic-pipeline
+    grid steps, hence none of the ~120 us/step floor measured in round 1
+    (docs/kernel_notes.md), and no grid-length-dependent compile crashes
+    (the grid is empty).
+    """
+    from fastdepth_tpu.ops import blocks as B
+    from fastdepth_tpu.ops.pallas.fused_decoder import fused_decoder_stage_v3
+
+    if cfg.skip != "add" or not cfg.decoder_depthwise or cfg.decoder_kernel != 5:
+        raise ValueError("fused path supports the nnconv5dw skip-add family")
+    feats, tapped = MN.apply_encoder(
+        params["encoder"], x, relu6=cfg.encoder_relu6, taps=_SKIP_TAPS,
+    )
+    dec = params["decoder"]
+    y = feats
+    skips = {2: tapped[5], 3: tapped[3], 4: tapped[1]}
+    # images per inner-pipeline step: larger B widens the pw matmul for
+    # the small-spatial stages; VMEM (~16 MB) caps the big ones
+    bbs = block_batches or {1: 8, 2: 4, 3: 2, 4: 1, 5: 1}
+    for i in range(1, 6):
+        p = dec[f"decode_conv{i}"]
+        y = fused_decoder_stage_v3(
+            y, p["dw"]["w"], p["dw"]["b"], p["pw"]["w"], p["pw"]["b"],
+            skip=skips.get(i), block_batch=bbs[i], interpret=interpret,
+        )
+    head = dec["decode_conv6"]["pw"]
+    return B.relu(B.conv2d(y, head["w"], bias=head["b"]))
+
+
 def apply_fastdepth_mixed(
     params: Dict,
     x: Array,

@@ -238,6 +238,158 @@ def fused_decoder_stage_hwbc(
     return jnp.transpose(out5, (0, 3, 1, 2, 4)).reshape(N, 2 * H, 2 * W, Cout)
 
 
+def _compute_stage(x_f32, pad_ref, dww, dwb, pww, pwb, H, W, C, Cout):
+    """Shared stage math on a VMEM-resident (B, H, W, C) f32 block:
+    dw5x5 -> ReLU -> pw1x1 -> ReLU -> nearest-x2 upsample.
+    ``pad_ref`` is a (B, H+4, W+4, C) f32 halo scratch."""
+    B = x_f32.shape[0]
+    pad_ref[:] = jnp.zeros_like(pad_ref)
+    pad_ref[:, _PAD:H + _PAD, _PAD:W + _PAD, :] = x_f32
+
+    acc = jnp.zeros((B, H, W, C), jnp.float32)
+    for dw in range(5):
+        # one relayout per W-shift (sublane dim), H-shifts are free
+        shifted = pad_ref[:, :, dw:dw + W, :]
+        for dh in range(5):
+            acc += shifted[:, dh:dh + H] * dww[dh, dw, :].astype(jnp.float32)
+    acc = jnp.maximum(acc + dwb.astype(jnp.float32), 0.0)
+
+    y = jnp.dot(acc.reshape(B * H * W, C), pww.astype(jnp.float32),
+                preferred_element_type=jnp.float32)
+    y = jnp.maximum(y + pwb.astype(jnp.float32), 0.0).reshape(B, H, W, Cout)
+
+    up = jnp.broadcast_to(y[:, :, None, :, None, :], (B, H, 2, W, 2, Cout))
+    return up.reshape(B, 2 * H, 2 * W, Cout)
+
+
+def fused_decoder_stage_v3(
+    x: Array,
+    dw_w: Array,
+    dw_b: Array,
+    pw_w: Array,
+    pw_b: Array,
+    skip: Optional[Array] = None,
+    *,
+    block_batch: int = 1,
+    interpret: bool = False,
+) -> Array:
+    """Fused stage with a SINGLE grid step + manual double-buffered DMA.
+
+    Round-1 triage (docs/kernel_notes.md) measured a ~120 us fixed cost
+    per *automatic-pipeline grid step* on this platform (a trivial
+    out=in+in kernel paid it too), and grid shapes that would amortize it
+    crashed the remote compile helper.  This variant sidesteps the
+    machinery entirely: grid=(), operands stay in HBM (memory_space=ANY),
+    and the kernel walks the batch in a fori_loop with its own
+    two-slot in/skip/out DMA pipeline (pallas_guide.md 'Double
+    Buffering') — DMA for image i+1 overlaps compute for image i, and
+    nothing synchronizes per step.
+    """
+    N, H, W, C = x.shape
+    if dw_w.ndim == 4:
+        dw_w = dw_w.reshape(5, 5, C)
+    if pw_w.ndim == 4:
+        pw_w = pw_w.reshape(pw_w.shape[2], pw_w.shape[3])
+    Cout = pw_w.shape[1]
+    has_skip = skip is not None
+    B = block_batch if N % block_batch == 0 else 1
+    nsteps = N // B
+
+    def kernel(x_hbm, dww_ref, dwb_ref, pww_ref, pwb_ref, skip_hbm, out_hbm,
+               in_scr, skip_scr, out_scr, pad_scr,
+               in_sem, skip_sem, out_sem):
+        def in_dma(slot, i):
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(i * B, B)], in_scr.at[slot], in_sem.at[slot])
+
+        def skip_dma(slot, i):
+            return pltpu.make_async_copy(
+                skip_hbm.at[pl.ds(i * B, B)], skip_scr.at[slot],
+                skip_sem.at[slot])
+
+        def out_dma(slot, i):
+            return pltpu.make_async_copy(
+                out_scr.at[slot], out_hbm.at[pl.ds(i * B, B)],
+                out_sem.at[slot])
+
+        in_dma(0, 0).start()
+        if has_skip:
+            skip_dma(0, 0).start()
+
+        def body(i, _):
+            slot = jax.lax.rem(i, 2)
+            nxt = jax.lax.rem(i + 1, 2)
+
+            @pl.when(i + 1 < nsteps)
+            def _():
+                in_dma(nxt, i + 1).start()
+                if has_skip:
+                    skip_dma(nxt, i + 1).start()
+
+            in_dma(slot, i).wait()
+            if has_skip:
+                skip_dma(slot, i).wait()
+            # out slot is reused every 2 steps: drain step i-2's store
+            @pl.when(i >= 2)
+            def _():
+                out_dma(slot, i - 2).wait()
+
+            up = _compute_stage(
+                in_scr[slot].astype(jnp.float32), pad_scr,
+                dww_ref[:], dwb_ref[:], pww_ref[:], pwb_ref[:],
+                H, W, C, Cout,
+            )
+            if has_skip:
+                up = up + skip_scr[slot].astype(jnp.float32)
+            out_scr[slot] = up.astype(out_scr.dtype)
+            out_dma(slot, i).start()
+            return _
+
+        jax.lax.fori_loop(0, nsteps, body, None)
+
+        @pl.when(nsteps >= 2)
+        def _():
+            out_dma(jax.lax.rem(nsteps - 2, 2), nsteps - 2).wait()
+
+        out_dma(jax.lax.rem(nsteps - 1, 2), nsteps - 1).wait()
+
+    args = [x, dw_w, dw_b, pw_w, pw_b]
+    # dummy operand keeps the kernel signature uniform when skip is absent
+    args.append(skip if has_skip else jnp.zeros((1, 1, 1, Cout), x.dtype))
+
+    flops = N * (H * W * C * 25 * 2 + H * W * C * Cout * 2)
+    return pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),   # x stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # dw_w
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # dw_b
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # pw_w
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # pw_b
+            pl.BlockSpec(memory_space=pltpu.ANY),   # skip (or dummy)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((N, 2 * H, 2 * W, Cout), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, B, H, W, C), x.dtype),                    # in
+            pltpu.VMEM((2, B, 2 * H, 2 * W, Cout) if has_skip
+                       else (2, 1, 1, Cout), x.dtype),               # skip
+            pltpu.VMEM((2, B, 2 * H, 2 * W, Cout), x.dtype),         # out
+            pltpu.VMEM((B, H + 2 * _PAD, W + 2 * _PAD, C), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=x.size * x.dtype.itemsize * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+
+
 def fused_pointwise_head(
     x: Array,
     pw_w: Array,   # (1, 1, C, 1) or (C, 1)

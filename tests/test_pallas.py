@@ -120,3 +120,38 @@ def test_fused_v2_hwbc_matches_reference_forward(rng):
     ref = model.apply(params, x)
     got = apply_fastdepth_fused_v2(params, x, cfg, interpret=True)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-4)
+
+
+@pytest.mark.parametrize("has_skip", [False, True])
+@pytest.mark.parametrize("block_batch", [1, 2])
+def test_fused_stage_v3_matches_unfused(rng, has_skip, block_batch):
+    """Single-grid-step manual-DMA variant (double-buffered in/skip/out
+    pipelines inside one kernel) == the unfused XLA ops."""
+    from fastdepth_tpu.ops.pallas.fused_decoder import fused_decoder_stage_v3
+
+    N, H, W, C, Cout = 4, 7, 7, 12, 6
+    x = jnp.asarray(rng.randn(N, H, W, C).astype(np.float32))
+    dw_w = jnp.asarray(rng.randn(5, 5, 1, C).astype(np.float32) * 0.2)
+    dw_b = jnp.asarray(rng.randn(C).astype(np.float32) * 0.1)
+    pw_w = jnp.asarray(rng.randn(1, 1, C, Cout).astype(np.float32) * 0.2)
+    pw_b = jnp.asarray(rng.randn(Cout).astype(np.float32) * 0.1)
+    skip = (
+        jnp.asarray(rng.randn(N, 2 * H, 2 * W, Cout).astype(np.float32))
+        if has_skip else None
+    )
+    ref = _reference_stage(x, dw_w, dw_b, pw_w, pw_b, skip)
+    got = fused_decoder_stage_v3(x, dw_w, dw_b, pw_w, pw_b, skip,
+                                 block_batch=block_batch, interpret=True)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-4)
+
+
+def test_fused_v3_matches_reference_forward(rng):
+    from fastdepth_tpu.models.fused import apply_fastdepth_fused_v3
+
+    cfg = ModelConfig(encoder_channels=TINY_ENC, decoder_channels=TINY_DEC)
+    model = build(cfg)
+    params = model.fold(model.init(jax.random.PRNGKey(0)))
+    x = jnp.asarray(rng.rand(8, 64, 64, 3).astype(np.float32))
+    ref = model.apply(params, x)
+    got = apply_fastdepth_fused_v3(params, x, cfg, interpret=True)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-4)
