@@ -32,7 +32,10 @@ def main():
 
     from fastdepth_tpu.engine.benchmark import time_fn, time_pipelined
     from fastdepth_tpu.models import fastdepth_pruned
-    from fastdepth_tpu.models.fused import apply_fastdepth_fused_chunked
+    from fastdepth_tpu.models.fused import (
+        apply_fastdepth_fused_chunked,
+        apply_fastdepth_opt,
+    )
 
     model = fastdepth_pruned()
     params32 = model.fold(model.init(jax.random.PRNGKey(0)))
@@ -70,17 +73,21 @@ def main():
     # pallas configs run at b32: the remote compile helper crashes on the
     # fused kernels at b128 (grid-length-dependent; under investigation)
     CONFIGS = [
-        ("fp32", jnp.float32, False, 1), ("fp32", jnp.float32, False, 128),
-        ("bf16", jnp.bfloat16, False, 128),
-        ("bf16_pallas", jnp.bfloat16, True, 32),
-        ("bf16", jnp.bfloat16, False, 32),
+        ("bf16_opt", jnp.bfloat16, "opt", 128),
+        ("fp32", jnp.float32, "xla", 1), ("fp32", jnp.float32, "xla", 128),
+        ("bf16", jnp.bfloat16, "xla", 128),
+        ("bf16_pallas", jnp.bfloat16, "pallas", 32),
+        ("bf16", jnp.bfloat16, "xla", 32),
     ]
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "420"))
     t_start = __import__("time").time()
     fwd = jax.jit(lambda p, x: model.apply(p, x))
     fused = jax.jit(lambda p, x: apply_fastdepth_fused_chunked(p, x, model.config))
+    # head-commute rewrite: exact, measured fastest (docs/kernel_notes.md r2)
+    opt = jax.jit(lambda p, x: apply_fastdepth_opt(p, x, model.config))
+    impls = {"xla": fwd, "pallas": fused, "opt": opt}
     by_dtype = {}
-    for tag, dtype, use_pallas, batch in CONFIGS:
+    for tag, dtype, impl, batch in CONFIGS:
         if __import__("time").time() - t_start > budget_s and results:
             results[f"skipped_{tag}_b{batch}"] = "over time budget"
             continue
@@ -88,7 +95,7 @@ def main():
             by_dtype[dtype] = jax.tree.map(lambda a: a.astype(dtype), params32)
         params = by_dtype[dtype]
         x = jnp.asarray(rng.rand(batch, 224, 224, 3), dtype)
-        record(tag, batch, fused if use_pallas else fwd, params, x,
+        record(tag, batch, impls[impl], params, x,
                latency_too=(batch == 1))
 
     tx2_gpu_fps = 1000.0 / 5.6  # README.md:136

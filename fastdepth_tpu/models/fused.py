@@ -144,6 +144,66 @@ def apply_fastdepth_fused_v3(
     return B.relu(B.conv2d(y, head["w"], bias=head["b"]))
 
 
+def apply_fastdepth_opt(
+    params: Dict,
+    x: Array,
+    cfg: ModelConfig,
+) -> Array:
+    """XLA fast path: exact graph rewrite of the inference forward.
+
+    Head-commute: the 1x1 head is a per-pixel affine + ReLU, which
+    commutes with nearest-neighbor duplication — so it runs BEFORE the
+    final x2 upsample, at 112^2 instead of 224^2.  That drops the
+    224^2 x C5 intermediate's HBM round trip plus 3/4 of the head's
+    input traffic; the model output upsamples a 1-channel map instead.
+    Measured 61.4 -> 56.5 us/frame at bf16 b128 on v5e
+    (docs/kernel_notes.md round 2).  Bit-exact vs apply_fastdepth
+    (tests/test_models.py::test_opt_forward_exact).
+
+    Valid for the NNConv family only (nearest upsample; the reference's
+    flagship `nnconv5dw` decoder, reference models.py:253-270) — bilinear
+    interpolation does not commute with the head's ReLU.  Params must be
+    BN-folded ({'w','b'} leaves, Model.fold).
+    """
+    from fastdepth_tpu.ops import blocks as B
+
+    if cfg.decoder not in _NNCONV_NAMES:
+        raise ValueError(f"opt path supports nnconv decoders; got {cfg.decoder!r}")
+    taps = _SKIP_TAPS if cfg.skip else ()
+    feats, tapped = MN.apply_encoder(
+        params["encoder"], x, relu6=cfg.encoder_relu6, taps=taps,
+    )
+    import jax.numpy as jnp
+
+    dec = params["decoder"]
+    # skip models name stages decode_conv1..6 (reference models.py:683-698),
+    # plain models use the registry decoder's stage1..5 + final
+    skip_naming = "decode_conv1" in dec
+    y = feats
+    skips = {2: 5, 3: 3, 4: 1} if cfg.skip else {}
+    for i in range(1, 6):
+        p = dec[f"decode_conv{i}" if skip_naming else f"stage{i}"]
+        if cfg.decoder_depthwise:
+            y = B.relu(B.depthwise_conv2d(y, p["dw"]["w"], bias=p["dw"]["b"]))
+            y = B.relu(B.conv2d(y, p["pw"]["w"], bias=p["pw"]["b"]))
+        else:
+            y = B.relu(B.conv2d(y, p["conv"]["w"], bias=p["conv"]["b"]))
+        if i == 5:
+            break  # head commutes with the final upsample
+        y = B.upsample_nearest2x(y)
+        if i in skips:
+            t = tapped[skips[i]]
+            y = y + t if cfg.skip == "add" else jnp.concatenate([y, t], axis=-1)
+    head = dec["decode_conv6"]["pw"] if skip_naming else dec["final"]["pw"]
+    y = B.relu(B.conv2d(y, head["w"], bias=head["b"]))
+    return B.upsample_nearest2x(y)
+
+
+_NNCONV_NAMES = frozenset(
+    f"nnconv{k}{dw}" for k in (3, 5, 7, 9) for dw in ("", "dw")
+)
+
+
 def apply_fastdepth_mixed(
     params: Dict,
     x: Array,

@@ -398,3 +398,39 @@ def test_plain_resnet_registry_decoder_converter(dec_name, dec_cls, tmp_path):
     np.testing.assert_allclose(
         ref, np.asarray(out).transpose(0, 3, 1, 2), atol=1e-3
     )
+
+
+@pytest.mark.parametrize("skip", ["add", None])
+def test_opt_forward_exact(skip):
+    """apply_fastdepth_opt (head-commute) is bit-exact vs apply_fastdepth:
+    the 1x1 head is per-pixel affine+ReLU, which commutes with nearest
+    duplication (reference models.py:722-731 orders upsample before the
+    head; the rewrite is a pure scheduling change)."""
+    from fastdepth_tpu.config import ModelConfig
+    from fastdepth_tpu.models.fused import apply_fastdepth_opt
+
+    dec = TINY_DEC_ADD if skip == "add" else TINY_DEC
+    cfg = ModelConfig(
+        decoder="nnconv5dw", skip=skip,
+        encoder_channels=TINY_ENC, decoder_channels=dec,
+    ).validate()
+    model = build(cfg)
+    params = model.fold(model.init(jax.random.PRNGKey(3)))
+    x = jnp.asarray(np.random.RandomState(4).rand(2, 64, 64, 3), jnp.float32)
+    ref = np.asarray(jax.jit(model.apply)(params, x))
+    got = np.asarray(jax.jit(
+        lambda p, a: apply_fastdepth_opt(p, a, cfg))(params, x))
+    assert np.array_equal(ref, got)
+
+
+def test_opt_forward_rejects_bilinear():
+    from fastdepth_tpu.config import ModelConfig
+    from fastdepth_tpu.models.fused import apply_fastdepth_opt
+
+    cfg = ModelConfig(decoder="blconv5dw", skip=None,
+                      encoder_channels=TINY_ENC, decoder_channels=TINY_DEC)
+    model = build(cfg)
+    params = model.fold(model.init(jax.random.PRNGKey(0)))
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    with pytest.raises(ValueError, match="nnconv"):
+        apply_fastdepth_opt(params, x, cfg)
