@@ -39,6 +39,9 @@ def parse_args(argv=None):
                    help="shard batches over this many devices (default: no mesh)")
     p.add_argument("--no-fold-bn", action="store_true",
                    help="keep BatchNorm unfolded (exact reference numerics)")
+    p.add_argument("--impl", default="auto", choices=["auto", "xla", "opt"],
+                   help="forward impl: auto = head-commute fast path when the "
+                        "architecture supports it (bit-exact)")
     p.add_argument("--no-images", action="store_true", help="skip comparison PNGs")
     p.add_argument("--split", default="val", choices=["val", "holdout"],
                    help="dataset split (holdout = the two NetAdapt files, nyu.py:13-24)")
@@ -90,6 +93,7 @@ def main(argv=None):
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         mesh=mesh,
         fold_bn=not args.no_fold_bn,
+        impl=args.impl,
     )
     output_dir = os.path.dirname(os.path.abspath(args.evaluate))
     result = validate(

@@ -110,34 +110,43 @@ def main(argv=None):
             continue
         model = _build(key)
         params32 = model.fold(model.init(jax.random.PRNGKey(0)))
-        fwd = jax.jit(lambda p, a: model.apply(p, a))
+        impls = [("xla", jax.jit(lambda p, a: model.apply(p, a)))]
+        if model.config.decoder.startswith("nnconv"):
+            from fastdepth_tpu.models.fused import apply_fastdepth_opt
+
+            # exact head-commute rewrite (models/fused.py); the deployed
+            # config per model is whichever impl wins below
+            impls.append(("opt", jax.jit(
+                lambda p, a, m=model: apply_fastdepth_opt(p, a, m.config))))
         for dtype_name in dtypes:
             dtype = getattr(jnp, dtype_name)
             params = jax.tree.map(lambda a: a.astype(dtype), params32)
             for b in batches:
-                if time.time() - t_start > args.budget_s and rows:
-                    print(f"! budget hit, skipping {name}/{dtype_name}/b{b}",
-                          flush=True)
-                    continue
-                x = jnp.asarray(rng.rand(b, 224, 224, 3), dtype)
-                t0 = time.time()
-                try:
-                    stats = time_pipelined(fwd, (params, x), warmup=3,
-                                           calls=args.calls)
-                    fps = b / stats["mean_s"]
-                except Exception as e:
-                    print(f"{name} {dtype_name} b{b}: FAILED {type(e).__name__}",
-                          flush=True)
-                    continue
-                rows.append({
-                    "model": name, "dtype": dtype_name, "batch": b,
-                    "fps": round(fps, 1),
-                    "us_per_frame": round(1e6 / fps, 2),
-                    "macs_g": round(macs_g(model), 3),
-                    "rmse_m_published": rmse, "delta1_published": d1,
-                })
-                print(f"{name} {dtype_name} b{b}: {fps:.0f} fps "
-                      f"({time.time()-t0:.0f}s)", flush=True)
+                for impl_name, fwd in impls:
+                    if time.time() - t_start > args.budget_s and rows:
+                        print(f"! budget hit, skipping {name}/{dtype_name}/b{b}",
+                              flush=True)
+                        continue
+                    x = jnp.asarray(rng.rand(b, 224, 224, 3), dtype)
+                    t0 = time.time()
+                    try:
+                        stats = time_pipelined(fwd, (params, x), warmup=3,
+                                               calls=args.calls)
+                        fps = b / stats["mean_s"]
+                    except Exception as e:
+                        print(f"{name} {dtype_name} b{b} {impl_name}: "
+                              f"FAILED {type(e).__name__}", flush=True)
+                        continue
+                    rows.append({
+                        "model": name, "dtype": dtype_name, "batch": b,
+                        "impl": impl_name,
+                        "fps": round(fps, 1),
+                        "us_per_frame": round(1e6 / fps, 2),
+                        "macs_g": round(macs_g(model), 3),
+                        "rmse_m_published": rmse, "delta1_published": d1,
+                    })
+                    print(f"{name} {dtype_name} b{b} {impl_name}: {fps:.0f} fps "
+                          f"({time.time()-t0:.0f}s)", flush=True)
 
     device = jax.devices()[0].device_kind
     out = {"device": device, "image": "224x224", "rows": rows,
@@ -155,12 +164,13 @@ def main(argv=None):
         "(README.md:136) — 'pending' rows need the released checkpoints + "
         "NYU val set (docs/parity_runbook.md).",
         "",
-        "| model | dtype | batch | fps | us/frame | MACs [G] | RMSE [m] | delta1 | vs TX2-GPU |",
-        "|---|---|---:|---:|---:|---:|---:|---:|---:|",
+        "| model | dtype | batch | impl | fps | us/frame | MACs [G] | RMSE [m] | delta1 | vs TX2-GPU |",
+        "|---|---|---:|---|---:|---:|---:|---:|---:|---:|",
     ]
     for r in rows:
         lines.append(
-            f"| {r['model']} | {r['dtype']} | {r['batch']} | {r['fps']:.0f} "
+            f"| {r['model']} | {r['dtype']} | {r['batch']} | {r.get('impl', 'xla')} "
+            f"| {r['fps']:.0f} "
             f"| {r['us_per_frame']:.1f} | {r['macs_g']:.2f} "
             f"| {r['rmse_m_published'] if r['rmse_m_published'] else 'pending'} "
             f"| {r['delta1_published'] if r['delta1_published'] else 'pending'} "

@@ -18,6 +18,21 @@ import jax.numpy as jnp
 from fastdepth_tpu.models.registry import Model
 
 
+def _pick_apply(model: Model, fold_bn: bool, impl: str, batch_size: int = 2):
+    """'auto' -> head-commute fast path when supported + BN folded
+    (bit-exact: tests/test_models.py::test_opt_forward_exact); batch 1
+    stays on the straight graph (measured slower, docs/frontier.md)."""
+    from fastdepth_tpu.models import fused as F
+
+    use_opt = impl == "opt" or (
+        impl == "auto" and fold_bn and batch_size > 1
+        and F.supports_opt(model.config)
+    )
+    if use_opt:
+        return lambda p, x: F.apply_fastdepth_opt(p, x, model.config)
+    return model.apply
+
+
 def compile_forward(
     model: Model,
     params,
@@ -27,9 +42,12 @@ def compile_forward(
     dtype=jnp.float32,
     fold_bn: bool = True,
     donate: bool = False,
+    impl: str = "auto",
 ):
     """Returns (compiled_fn, params_prepared).  compiled_fn(params, rgb)
-    is an AOT-compiled executable for the fixed shape."""
+    is an AOT-compiled executable for the fixed shape.  ``impl='auto'``
+    bakes in the head-commute fast path (bit-exact; models/fused.py)
+    when the architecture supports it."""
     if fold_bn:
         params = model.fold(params)
     if dtype != jnp.float32:
@@ -38,8 +56,10 @@ def compile_forward(
             params,
         )
 
+    apply_fn = _pick_apply(model, fold_bn, impl, batch_size)
+
     def forward(p, x):
-        return model.apply(p, x.astype(dtype)).astype(jnp.float32)
+        return apply_fn(p, x.astype(dtype)).astype(jnp.float32)
 
     h, w = image_size
     x_spec = jax.ShapeDtypeStruct((batch_size, h, w, 3), jnp.float32)
@@ -57,6 +77,7 @@ def save_bundle(
     image_size: Tuple[int, int] = (224, 224),
     dtype=jnp.float32,
     fold_bn: bool = True,
+    impl: str = "auto",
 ) -> None:
     """Write a deploy bundle: ``<prefix>.stablehlo`` (serialized exported
     function) + ``<prefix>.npz`` (folded params + config).
@@ -78,8 +99,10 @@ def save_bundle(
             params,
         )
 
+    apply_fn = _pick_apply(model, fold_bn, impl, batch_size)
+
     def forward(p, x):
-        return model.apply(p, x.astype(dtype)).astype(jnp.float32)
+        return apply_fn(p, x.astype(dtype)).astype(jnp.float32)
 
     h, w = image_size
     x_spec = jax.ShapeDtypeStruct((batch_size, h, w, 3), jnp.float32)

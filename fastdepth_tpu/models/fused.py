@@ -157,8 +157,10 @@ def apply_fastdepth_opt(
     224^2 x C5 intermediate's HBM round trip plus 3/4 of the head's
     input traffic; the model output upsamples a 1-channel map instead.
     Measured 61.4 -> 56.5 us/frame at bf16 b128 on v5e
-    (docs/kernel_notes.md round 2).  Bit-exact vs apply_fastdepth
-    (tests/test_models.py::test_opt_forward_exact).
+    (docs/kernel_notes.md round 2).  Mathematically exact: bit-equal vs
+    apply_fastdepth on CPU (tests/test_models.py::test_opt_forward_exact);
+    on TPU the rescheduled convs may round differently at the float-ulp
+    level (observed ~1e-10 relative on f32 224^2 batches).
 
     Valid for the NNConv family only (nearest upsample; the reference's
     flagship `nnconv5dw` decoder, reference models.py:253-270) — bilinear
@@ -202,6 +204,12 @@ def apply_fastdepth_opt(
 _NNCONV_NAMES = frozenset(
     f"nnconv{k}{dw}" for k in (3, 5, 7, 9) for dw in ("", "dw")
 )
+
+
+def supports_opt(cfg: ModelConfig) -> bool:
+    """True when :func:`apply_fastdepth_opt` covers this architecture
+    (MobileNet encoder + nearest-upsample NNConv decoder family)."""
+    return cfg.encoder == "mobilenet" and cfg.decoder in _NNCONV_NAMES
 
 
 def apply_fastdepth_mixed(
