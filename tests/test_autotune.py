@@ -33,3 +33,35 @@ def test_load_tuning_prefers_bf16(tmp_path):
     p.write_text(json.dumps(rec))
     winners = load_tuning(str(p))
     assert winners == {1: "pallas", 2: "xla"}
+
+
+def test_frontier_cli_smoke(tmp_path):
+    """cli.frontier end-to-end on CPU: one model, tiny batches, both
+    impls; writes the JSON + markdown artifact pair."""
+    import json as _json
+
+    from fastdepth_tpu.cli.frontier import main
+
+    out = str(tmp_path / "frontier")
+    rows = main([
+        "--models", "mobilenet-nnconv5dw-skipadd-pruned",
+        "--batches", "2", "--dtypes", "float32", "--calls", "2",
+        "--out", out,
+    ])
+    assert {r["impl"] for r in rows} == {"xla", "opt"}
+    data = _json.loads((tmp_path / "frontier.json").read_text())
+    assert data["rows"] and data["rows"][0]["macs_g"] > 0.3
+    md = (tmp_path / "frontier.md").read_text()
+    assert "| model | dtype | batch | impl |" in md
+
+
+def test_autotune_cli_model_configs():
+    """The 4 released model names resolve to valid configs with the
+    right decoder families (reference tuning-log names)."""
+    from fastdepth_tpu.cli.autotune import MODEL_CONFIGS, config_for
+
+    assert len(MODEL_CONFIGS) == 4
+    pruned = config_for("mobilenet-nnconv5dw-skipadd-pruned")
+    assert pruned.decoder_channels == (200, 256, 120, 56, 16)
+    plain = config_for("mobilenet-nnconv5")
+    assert not plain.decoder_depthwise and plain.skip is None
