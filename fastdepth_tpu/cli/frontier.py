@@ -158,6 +158,8 @@ def main(argv=None):
     lines = [
         "# Throughput frontier (one chip, 224x224)",
         "",
+        "![frontier](frontier.png) (render: scripts/make_frontier_plot.py)",
+        "",
         f"Device: {device}.  The reference's equivalent artifact is the "
         "acc-vs-fps plot pair (reference img/acc_fps_*.png, "
         "README.md:140-143); accuracy columns are published values "
