@@ -65,3 +65,24 @@ def test_autotune_cli_model_configs():
     assert pruned.decoder_channels == (200, 256, 120, 56, 16)
     plain = config_for("mobilenet-nnconv5")
     assert not plain.decoder_depthwise and plain.skip is None
+
+
+def test_committed_records_load_and_cover_every_stage():
+    """The committed v5e tuning records (all 4 released model configs)
+    parse through load_tuning with a winner for every decoder stage, and
+    carry encoder records for every conv op — the breadth of the
+    reference's AutoTVM DB (reference tvm_compile/tuning/, 8 logs)."""
+    import glob
+    import os
+
+    files = sorted(glob.glob(os.path.join("tuning", "tpuv5lite.*.json")))
+    assert len(files) == 4, files
+    for f in files:
+        winners = load_tuning(f)
+        assert set(winners) == {1, 2, 3, 4, 5}, (f, winners)
+        assert set(winners.values()) <= {"xla", "pallas"}
+        rec = json.load(open(f))
+        enc = rec["encoder_records"]
+        # stem + 13 x (dw, pw) ops x 2 dtypes
+        assert len(enc) == 27 * 2, f
+        assert all(r["xla_ms"] is not None for r in enc), f
