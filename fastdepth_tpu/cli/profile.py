@@ -4,13 +4,20 @@ The reference's only "profile" is two wall-clock pairs with the device
 syncs commented out (reference main.py:69-77).  This tool attributes
 real device time per layer on the actual chip, two ways:
 
-* ``--mode prefix`` (default, transport-robust): jit the forward truncated
-  after layer k for every k, time each pipelined (engine/benchmark.py's
-  scalar-fetch sync — block_until_ready lies on some transports), and
-  difference consecutive prefixes.  Prefix timing survives XLA fusion
-  reordering because each prefix is a complete program.
+* ``--mode marginal`` (default): time the full production graph, then a
+  variant per layer where THAT layer runs twice on an eps-perturbed
+  input, blended in by a runtime scalar so XLA can't CSE/DCE it — the
+  difference is the layer's marginal in-context cost with every layout
+  and fusion decision preserved.  This is the honest method on this
+  platform (prefix diffs go negative under dispatch pipelining;
+  docs/kernel_notes.md round 2).
+* ``--mode prefix``: jit the forward truncated after layer k for every
+  k, time each pipelined, difference consecutive prefixes.
 * ``--trace DIR``: additionally capture a ``jax.profiler`` device trace
   around the full forward for TensorBoard/Perfetto.
+
+Timing is pipelined with scalar-fetch sync (engine/benchmark.py —
+block_until_ready lies on some transports).
 
 Each layer also gets a roofline estimate: MACs, HBM bytes (activations +
 weights, assuming perfect fusion), and the max(MXU, VPU, HBM) time bound,
@@ -41,6 +48,7 @@ def parse_args(argv=None):
     p.add_argument("--image-size", type=int, default=224)
     p.add_argument("--calls", type=int, default=30)
     p.add_argument("--json", default=None, help="write the table to this JSON file")
+    p.add_argument("--mode", default="marginal", choices=["marginal", "prefix"])
     p.add_argument("--trace", default=None, help="also write a jax.profiler trace here")
     p.add_argument("--model", default="pruned", choices=["pruned", "unpruned"])
     return p.parse_args(argv)
@@ -101,6 +109,62 @@ def make_prefix_fn(model, cfg, upto: int):
             if n >= upto:
                 return jnp.sum(y, dtype=jnp.float32)
         y = L.apply_conv_bn(y, dec["decode_conv6"]["pw"])
+        return jnp.sum(y, dtype=jnp.float32)
+
+    return fn
+
+
+def make_marginal_fn(model, cfg, dup):
+    """Full forward with attribution point ``dup`` (1-based index into
+    prefix_points, or None) executed twice — the second time on an
+    eps-perturbed input, blended in by the runtime scalar ``eps`` so XLA
+    cannot CSE or DCE the duplicate (exact at eps=0).  Timing difference
+    vs the dup=None base = the layer's marginal in-context cost."""
+    import jax.numpy as jnp
+
+    from fastdepth_tpu.config import MOBILENET_STRIDES
+    from fastdepth_tpu.models import layers as L
+    from fastdepth_tpu.ops import blocks as B
+
+    def fn(params, x, eps):
+        n = [0]
+
+        def point(f, xin):
+            n[0] += 1
+            y = f(xin)
+            if dup == n[0]:
+                y2 = f(xin * (1 + eps.astype(xin.dtype)))
+                y = y + eps.astype(y.dtype) * (y2 - y)
+            return y
+
+        act = B.relu6 if cfg.encoder_relu6 else B.relu
+        enc = params["encoder"]
+        y = point(lambda t: L.apply_conv_bn(t, enc["conv0"], stride=2, act=act), x)
+        tapped = {}
+        for i in range(1, 14):
+            p = enc[f"conv{i}"]
+
+            def blk(t, p=p, s=MOBILENET_STRIDES[i - 1]):
+                t = L.apply_conv_bn(t, p["dw"], stride=s, act=act, depthwise=True)
+                return L.apply_conv_bn(t, p["pw"], act=act)
+
+            y = point(blk, y)
+            if i in (1, 3, 5):
+                tapped[i] = y
+        dec = params["decoder"]
+        skips = {2: 5, 3: 3, 4: 1} if cfg.skip == "add" else {}
+        for i in range(1, 6):
+            p = dec[f"decode_conv{i}"]
+            skip = tapped[skips[i]] if i in skips else None
+
+            def stage(t, p=p, skip=skip):
+                t = L.apply_conv_bn(t, p["dw"], depthwise=True)
+                t = L.apply_conv_bn(t, p["pw"])
+                t = B.upsample_nearest2x(t)
+                return t + skip if skip is not None else t
+
+            y = point(stage, y)
+        y = point(lambda t: L.apply_conv_bn(t, dec["decode_conv6"]["pw"]), y)
         return jnp.sum(y, dtype=jnp.float32)
 
     return fn
@@ -195,20 +259,36 @@ def main(argv=None):
             float(out)
         print(f"trace written to {args.trace}")
 
-    cum = []
-    for k in range(1, len(pts) + 1):
-        fn = jax.jit(make_prefix_fn(model, cfg, k))
-        t = time_pipelined(fn, (params, x), warmup=2, calls=args.calls)["mean_s"]
-        cum.append(t)
-        print(f"  prefix {k:2d} ({pts[k - 1][0]:<12}): cum {t * 1e6:8.1f} us")
+    deltas = []
+    if args.mode == "marginal":
+        eps = jnp.float32(1e-6)
+        base_fn = jax.jit(make_marginal_fn(model, cfg, None))
+        t_base = time_pipelined(base_fn, (params, x, eps), warmup=3,
+                                calls=args.calls)["mean_s"]
+        print(f"  marginal base: {t_base * 1e6:8.1f} us")
+        for k in range(1, len(pts) + 1):
+            fn = jax.jit(make_marginal_fn(model, cfg, k))
+            t = time_pipelined(fn, (params, x, eps), warmup=2,
+                               calls=args.calls)["mean_s"]
+            deltas.append(t - t_base)
+            print(f"  marginal {k:2d} ({pts[k - 1][0]:<12}): "
+                  f"+{(t - t_base) * 1e6:8.1f} us")
+    else:
+        cum = []
+        for k in range(1, len(pts) + 1):
+            fn = jax.jit(make_prefix_fn(model, cfg, k))
+            t = time_pipelined(fn, (params, x), warmup=2, calls=args.calls)["mean_s"]
+            cum.append(t)
+            print(f"  prefix {k:2d} ({pts[k - 1][0]:<12}): cum {t * 1e6:8.1f} us")
+        prev = 0.0
+        for t in cum:
+            deltas.append(t - prev)
+            prev = t
 
     table = []
-    prev = 0.0
     print(f"\n{'layer':<12} {'meas us':>9} {'bound us':>9} {'x-bound':>8} "
           f"{'MACs(M)':>9} {'MB':>7}")
-    for (name, _kind), t, (rname, macs, byts, bound) in zip(pts, cum, roof):
-        dt = t - prev
-        prev = t
+    for (name, _kind), dt, (rname, macs, byts, bound) in zip(pts, deltas, roof):
         ratio = dt / bound if bound > 0 else float("inf")
         table.append({
             "layer": name, "measured_us": dt * 1e6, "bound_us": bound * 1e6,
@@ -218,13 +298,13 @@ def main(argv=None):
               f"{macs / 1e6:>9.1f} {byts / 1e6:>7.2f}")
     total_bound = sum(r[3] for r in roof)
     print(f"\nsum of bounds: {total_bound * 1e6:.0f} us; measured full: "
-          f"{t_full * 1e6:.0f} us; prefix-sum: {cum[-1] * 1e6:.0f} us")
+          f"{t_full * 1e6:.0f} us; layer-sum: {sum(deltas) * 1e6:.0f} us")
 
     if args.json:
         with open(args.json, "w") as f:
             json.dump({
                 "batch": args.batch, "dtype": "bf16" if args.bf16 else "fp32",
-                "model": args.model,
+                "model": args.model, "mode": args.mode,
                 "full_us": t_full * 1e6, "fps": args.batch / t_full,
                 "layers": table,
                 "peaks": {"mxu_flops": MXU_FLOPS, "vpu_flops": VPU_FLOPS,

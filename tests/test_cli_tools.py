@@ -198,3 +198,28 @@ def test_convert_cli_roundtrip(tmp_path, rng, capsys):
 
     out = model.apply(params, jnp.zeros((1, 64, 64, 3)))
     assert out.shape == (1, 64, 64, 1)
+
+
+def test_profile_marginal_fn_exact_at_eps0():
+    """cli.profile's marginal-mode graphs equal the plain forward at
+    eps=0 for every attribution point (the duplicate blends to zero), so
+    the timing diff attributes only the duplicated layer."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fastdepth_tpu.cli.profile import make_marginal_fn, prefix_points
+    from fastdepth_tpu.config import ModelConfig
+    from fastdepth_tpu.models import build
+
+    enc = (4, 6, 8, 10, 12, 14, 16, 16, 16, 16, 16, 16, 20, 24)
+    dec = (18, 14, 10, 6, 4)
+    cfg = ModelConfig(encoder_channels=enc, decoder_channels=dec).validate()
+    model = build(cfg)
+    params = model.fold(model.init(jax.random.PRNGKey(0)))
+    x = jnp.asarray(np.random.RandomState(1).rand(2, 64, 64, 3), jnp.float32)
+    eps0 = jnp.float32(0.0)
+    base = np.asarray(jax.jit(make_marginal_fn(model, cfg, None))(params, x, eps0))
+    for k in (1, 2, 15, 20, len(prefix_points(cfg))):
+        got = np.asarray(jax.jit(make_marginal_fn(model, cfg, k))(params, x, eps0))
+        assert np.array_equal(base, got), k
