@@ -99,6 +99,11 @@ def main():
                latency_too=(batch == 1))
 
     tx2_gpu_fps = 1000.0 / 5.6  # README.md:136
+    if best_fps:
+        results["best_us_per_frame"] = round(1e6 / best_fps, 2)
+        # aggregate conv-boundary roofline for the head-commuted forward,
+        # bf16 b128: 37.7 us/frame (docs/roofline.md)
+        results["x_roofline"] = round(1e6 / best_fps / 37.7, 2)
     print(json.dumps({
         "metric": "224x224 NYUv2 frames/sec/chip",
         "value": round(best_fps, 1),
