@@ -55,11 +55,20 @@ def save_checkpoint(
     extra: Optional[Dict[str, Any]] = None,
 ) -> None:
     flat = flatten_tree(jax_to_numpy(params))
+    # numpy can't serialize ml_dtypes (bfloat16 etc.: dtype kind 'V') —
+    # npz round-trips them as raw void and the load explodes.  Store the
+    # bit pattern as an unsigned view and record the real dtype in meta.
+    custom_dtypes: Dict[str, str] = {}
+    for k, v in list(flat.items()):
+        if v.dtype.kind == "V":
+            custom_dtypes[k] = v.dtype.name
+            flat[k] = v.view(f"u{v.dtype.itemsize}")
     meta = {
         "config": dataclasses.asdict(config),
         "epoch": epoch,
         "best_result": best_result or {},
         "extra": extra or {},
+        "dtypes": custom_dtypes,
         "format_version": 1,
     }
     # atomic: a crash mid-save must not corrupt an existing checkpoint
@@ -77,6 +86,13 @@ def load_checkpoint(path: str) -> Tuple[Dict, ModelConfig, Dict[str, Any]]:
     with np.load(path) as data:
         meta = json.loads(bytes(data["__meta__"]).decode())
         flat = {k: data[k] for k in data.files if k != "__meta__"}
+    custom = meta.pop("dtypes", {})
+    if custom:
+        import ml_dtypes  # bfloat16/float8 numpy dtype definitions
+
+        for k, name in custom.items():
+            dt = np.dtype(getattr(ml_dtypes, name, name))
+            flat[k] = flat[k].view(dt)
     cfg_dict = meta.pop("config")
     for key in ("encoder_channels", "decoder_channels", "output_size"):
         if key in cfg_dict and cfg_dict[key] is not None:

@@ -33,6 +33,10 @@ def parse_args(argv=None):
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax.profiler device trace to DIR")
+    p.add_argument("--save-bundle", default=None, metavar="PREFIX",
+                   help="also write the deploy artifact pair "
+                        "<PREFIX>.stablehlo + <PREFIX>.npz (the analogue of "
+                        "the reference's TVM deploy_lib/graph/params bundle)")
     return p.parse_args(argv)
 
 
@@ -78,6 +82,13 @@ def main(argv=None):
     pred = np.asarray(compiled(prepared, jnp.asarray(x)))
     np.save(args.output_fp, np.transpose(pred, (0, 3, 1, 2)))  # NCHW like the reference
     print(f"=> saved prediction to {args.output_fp}")
+
+    if args.save_bundle:
+        from fastdepth_tpu.engine.aot import save_bundle
+
+        save_bundle(args.save_bundle, model, params, batch_size=1,
+                    image_size=(h, w), dtype=dtype)
+        print(f"=> saved bundle {args.save_bundle}.stablehlo + .npz")
 
     from fastdepth_tpu.engine.profiler import trace
 

@@ -37,3 +37,24 @@ def test_bundle_roundtrip(tmp_path, rng):
     got = call(loaded_params, x)
     ref = model.apply(model.fold(params), x)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-5)
+
+
+def test_bundle_roundtrip_bf16(tmp_path, rng):
+    """bf16 bundles survive the npz round trip (numpy stores ml_dtypes
+    as raw void without the checkpoint/io dtype tagging — caught by the
+    on-chip bf16-bundle drive in round 2)."""
+    model = build(CFG)
+    params = model.init(jax.random.PRNGKey(1))
+    prefix = str(tmp_path / "bundle16")
+    save_bundle(prefix, model, params, batch_size=1, image_size=(64, 64),
+                dtype=jnp.bfloat16)
+
+    call, loaded_params, config = load_bundle(prefix)
+    assert config == CFG
+    leaves = jax.tree.leaves(loaded_params)
+    assert any(l.dtype == jnp.bfloat16 for l in leaves)
+    x = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    got = call(loaded_params, x)
+    folded16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), model.fold(params))
+    ref = model.apply(folded16, x.astype(jnp.bfloat16)).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=2e-2)

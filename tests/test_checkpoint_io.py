@@ -9,6 +9,7 @@ import jax
 from fastdepth_tpu.checkpoint.io import (
     flatten_tree,
     load_checkpoint,
+    numpy_to_jax,
     save_checkpoint,
     unflatten_tree,
 )
@@ -94,3 +95,29 @@ def test_loaded_checkpoint_runs(tmp_path, rng):
     y1 = model.apply(params, x)
     y2 = build(cfg2).apply(numpy_to_jax(params2), x)
     np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+
+def test_save_load_bfloat16_params(tmp_path):
+    """bfloat16 leaves survive the npz round trip: numpy serializes
+    ml_dtypes as raw void ('|V2'), so save tags them in meta and load
+    restores the dtype (caught by the on-chip AOT bf16-bundle drive)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fastdepth_tpu.config import ModelConfig
+
+    params = {
+        "a": jnp.arange(6, dtype=jnp.bfloat16).reshape(2, 3) / 7,
+        "n": {"b": jnp.ones((3,), jnp.float32)},
+    }
+    path = str(tmp_path / "bf16.npz")
+    save_checkpoint(path, params, ModelConfig(), epoch=1)
+    loaded, cfg, meta = load_checkpoint(path)
+    assert loaded["a"].dtype == jnp.bfloat16
+    assert loaded["n"]["b"].dtype == np.float32
+    np.testing.assert_array_equal(
+        np.asarray(loaded["a"].astype(np.float32)),
+        np.asarray(params["a"].astype(jnp.float32)),
+    )
+    back = numpy_to_jax(loaded)
+    assert back["a"].dtype == jnp.bfloat16
