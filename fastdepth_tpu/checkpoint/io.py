@@ -101,6 +101,44 @@ def load_checkpoint(path: str) -> Tuple[Dict, ModelConfig, Dict[str, Any]]:
     return unflatten_tree(flat), config, meta
 
 
+def save_train_checkpoint(
+    path: str,
+    state,
+    config: ModelConfig,
+    *,
+    epoch: int,
+    best_result: Optional[Dict[str, float]] = None,
+    extra: Optional[Dict[str, Any]] = None,
+) -> None:
+    """Full resumable training state — params, SGD momentum buffers, and
+    the step counter — in one atomic npz (the reference only ever *loads*
+    checkpoints, main.py:49-57; resume is this framework's addition,
+    SURVEY.md §5 'Checkpoint / resume').  ``state`` is a
+    ``train.trainer.TrainState`` (duck-typed: .params/.momentum/.step)."""
+    tree = {
+        "params": state.params,
+        "momentum": state.momentum,
+        "step": state.step,
+    }
+    save_checkpoint(
+        path, tree, config, epoch=epoch, best_result=best_result,
+        extra=dict(extra or {}, train_state=True),
+    )
+
+
+def load_train_checkpoint(path: str) -> Tuple[Dict, ModelConfig, Dict[str, Any]]:
+    """Load a checkpoint written by :func:`save_train_checkpoint`.
+    Returns ``({'params','momentum','step'}, config, meta)``."""
+    tree, config, meta = load_checkpoint(path)
+    if not meta.get("extra", {}).get("train_state"):
+        raise ValueError(
+            f"{path!r} is a params-only checkpoint, not a training state; "
+            "resume needs the checkpoint.npz written by cli.train (it holds "
+            "the optimizer momentum and step counter too)"
+        )
+    return tree, config, meta
+
+
 def jax_to_numpy(tree):
     """Device arrays -> host numpy, recursively."""
     if isinstance(tree, dict):

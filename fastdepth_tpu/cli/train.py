@@ -42,6 +42,11 @@ def parse_args(argv=None):
                         "trades FLOPs for activation memory at large batch/resolution")
     p.add_argument("--output-dir", default="results")
     p.add_argument("--eval-batch-size", type=int, default=8)
+    p.add_argument("--resume", default=None, metavar="PATH",
+                   help="resume from a checkpoint.npz written by this CLI: "
+                        "restores params, optimizer momentum, epoch counter, "
+                        "and best-result tracking (arch comes from the "
+                        "checkpoint; --arch is ignored)")
     return p.parse_args(argv)
 
 
@@ -68,12 +73,17 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    from fastdepth_tpu.checkpoint.io import numpy_to_jax, save_checkpoint
+    from fastdepth_tpu.checkpoint.io import (
+        load_train_checkpoint,
+        numpy_to_jax,
+        save_checkpoint,
+        save_train_checkpoint,
+    )
     from fastdepth_tpu.config import TrainConfig
     from fastdepth_tpu.data import BatchLoader, NYUDataset
     from fastdepth_tpu.engine import Evaluator, validate
     from fastdepth_tpu.metrics import Result
-    from fastdepth_tpu.models import from_name
+    from fastdepth_tpu.models import build, from_name
     from fastdepth_tpu.parallel import make_mesh
     from fastdepth_tpu.train import Trainer
 
@@ -83,12 +93,19 @@ def main(argv=None):
         lr_decay_step=args.lr_decay_step, lr_decay_gamma=args.lr_decay_gamma,
         seed=args.seed,
     )
-    model = from_name(args.arch)
-    params = model.init(jax.random.PRNGKey(args.seed))
-    if args.pretrained_encoder:
-        print(f"=> loading pretrained encoder '{args.pretrained_encoder}'")
-        params = dict(params, encoder=numpy_to_jax(
-            load_pretrained_encoder(args.pretrained_encoder)))
+    resume_tree = resume_meta = None
+    if args.resume:
+        print(f"=> resuming from '{args.resume}'")
+        resume_tree, ckpt_cfg, resume_meta = load_train_checkpoint(args.resume)
+        model = build(ckpt_cfg)
+        params = numpy_to_jax(resume_tree["params"])
+    else:
+        model = from_name(args.arch)
+        params = model.init(jax.random.PRNGKey(args.seed))
+        if args.pretrained_encoder:
+            print(f"=> loading pretrained encoder '{args.pretrained_encoder}'")
+            params = dict(params, encoder=numpy_to_jax(
+                load_pretrained_encoder(args.pretrained_encoder)))
 
     print("=> creating data loaders...")
     root = os.path.join(args.data_root, args.data)
@@ -110,9 +127,19 @@ def main(argv=None):
     test_csv = os.path.join(args.output_dir, "test.csv")
     best = Result().set_to_worst()
     best_epoch = -1
+    start_epoch = 0
+    if resume_tree is not None:
+        trainer.restore(resume_tree)  # momentum buffers + step counter
+        start_epoch = resume_meta["epoch"] + 1
+        for k, v in resume_meta.get("best_result", {}).items():
+            setattr(best, k, v)
+        best_epoch = resume_meta.get("extra", {}).get("best_epoch", -1)
+        print(f"=> resumed at epoch {start_epoch} "
+              f"(best RMSE={best.rmse:.3f} @ epoch {best_epoch})")
 
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
+        train_loader.set_epoch(epoch)  # resume-deterministic shuffles
         loss = trainer.run_epoch(train_loader, epoch, print_freq=args.print_freq)
         print(f"=> epoch {epoch}: train loss {loss:.4f} ({time.time() - t0:.1f}s)")
         with open(train_csv, "a", newline="") as f:
@@ -138,9 +165,15 @@ def main(argv=None):
                              "mae": best.mae, "absrel": best.absrel},
             )
             print(f"=> new best (epoch {epoch}): RMSE={best.rmse:.3f}")
-        save_checkpoint(
+        # the resume file: full training state (momentum + step), plus
+        # the best-so-far record so resume keeps best tracking intact
+        save_train_checkpoint(
             os.path.join(args.output_dir, "checkpoint.npz"),
-            trainer.state.params, model.config, epoch=epoch,
+            trainer.state, model.config, epoch=epoch,
+            best_result={"rmse": best.rmse, "delta1": best.delta1,
+                         "mae": best.mae, "absrel": best.absrel}
+            if best_epoch >= 0 else {},
+            extra={"best_epoch": best_epoch},
         )
     print(f"=> done; best epoch {best_epoch}: RMSE={best.rmse:.3f} "
           f"Delta1={best.delta1:.3f}")

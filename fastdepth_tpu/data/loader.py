@@ -46,7 +46,14 @@ class BatchLoader:
         self.pad_last = pad_last
         self.drop_last = drop_last
         self.device_put = device_put
+        self.seed = seed
         self._rng = np.random.RandomState(seed)
+
+    def set_epoch(self, epoch: int) -> None:
+        """Re-seed the shuffle for a given epoch: epoch k's batch order is
+        then identical whether the run is fresh or resumed mid-training
+        (the torch DistributedSampler.set_epoch convention)."""
+        self._rng = np.random.RandomState(self.seed + epoch)
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -79,6 +86,7 @@ class BatchLoader:
         self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+        errors: list = []
 
         def producer():
             try:
@@ -93,7 +101,9 @@ class BatchLoader:
                             batch[2],
                         )
                     q.put(batch)
-            finally:
+            except BaseException as e:  # propagate to the consumer — a
+                errors.append(e)        # swallowed error would silently
+            finally:                    # truncate the epoch
                 q.put(None)
 
         t = threading.Thread(target=producer, daemon=True)
@@ -102,6 +112,8 @@ class BatchLoader:
             while True:
                 item = q.get()
                 if item is None:
+                    if errors:
+                        raise errors[0]
                     break
                 yield item
         finally:

@@ -187,6 +187,24 @@ class Trainer:
         else:
             self._step = jax.jit(step, donate_argnums=(0,))
 
+    def restore(self, tree) -> None:
+        """Resume from a saved training state
+        (``checkpoint.io.load_train_checkpoint`` tree): replaces params,
+        momentum buffers, and the step counter, re-placed under the
+        trainer's mesh sharding."""
+        from fastdepth_tpu.checkpoint.io import numpy_to_jax
+
+        state = TrainState(
+            params=numpy_to_jax(tree["params"]),
+            momentum=numpy_to_jax(tree["momentum"]),
+            step=jnp.asarray(tree["step"], jnp.int32),
+        )
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            state = jax.device_put(state, NamedSharding(self.mesh, P()))
+        self.state = state
+
     def run_epoch(self, loader, epoch: int, log=print, print_freq: int = 50):
         lr = step_lr(self.cfg, epoch)
         # accumulate the loss ON DEVICE — a float(loss) each step would

@@ -112,17 +112,53 @@ def test_train_cli_one_epoch(tmp_path, monkeypatch, rng, capsys):
     assert "train loss" in capsys.readouterr().out
 
 
-def _args(tmp_path):
+def _args(tmp_path, **over):
     import argparse
 
-    return argparse.Namespace(
+    ns = argparse.Namespace(
         data="nyudepthv2", data_root=str(tmp_path),
         arch="mobilenet-nnconv5dw-skipadd", pretrained_encoder=None,
         epochs=1, batch_size=2, lr=0.01, momentum=0.9, weight_decay=1e-4,
         lr_decay_step=5, lr_decay_gamma=0.2, workers=2, print_freq=1,
         seed=0, mesh_devices=None, remat=False, output_dir=str(tmp_path / "out"),
-        eval_batch_size=2,
+        eval_batch_size=2, resume=None,
     )
+    for k, v in over.items():
+        setattr(ns, k, v)
+    return ns
+
+
+def test_train_cli_resume(tmp_path, monkeypatch, rng, capsys):
+    """--resume continues from checkpoint.npz: starts at the saved
+    epoch + 1, restores best tracking, and the arch comes from the
+    checkpoint config (no from_name needed on the resume path)."""
+    from fastdepth_tpu.cli import train as train_cli
+    from fastdepth_tpu.config import ModelConfig
+    from fastdepth_tpu.models import build
+
+    root = tmp_path / "nyudepthv2"
+    _make_nyu_tree(str(root / "train"), rng, n=4)
+    _make_nyu_tree(str(root / "val"), rng, n=2)
+
+    tiny_cfg = ModelConfig(encoder_channels=TINY_ENC, decoder_channels=TINY_DEC)
+    monkeypatch.setattr(train_cli, "parse_args", lambda argv=None: _args(tmp_path))
+    import fastdepth_tpu.models as models_pkg
+
+    monkeypatch.setattr(models_pkg, "from_name", lambda name: build(tiny_cfg))
+    train_cli.main([])  # epoch 0
+    capsys.readouterr()
+
+    ckpt = str(tmp_path / "out" / "checkpoint.npz")
+    monkeypatch.setattr(
+        train_cli, "parse_args",
+        lambda argv=None: _args(tmp_path, epochs=2, resume=ckpt),
+    )
+    best = train_cli.main([])
+    out = capsys.readouterr().out
+    assert "resumed at epoch 1" in out
+    assert "epoch 1: train loss" in out
+    assert "epoch 0: train loss" not in out  # did NOT redo epoch 0
+    assert best.rmse < float("inf")
 
 
 def test_pretrained_encoder_loading(tmp_path):

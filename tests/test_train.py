@@ -205,3 +205,54 @@ def test_nonfinite_batch_skipped(rng):
     assert not np.allclose(
         np.asarray(state.params["encoder"]["conv0"]["w"]),
         before_p["encoder"]["conv0"]["w"])
+
+
+def test_resume_bit_exact(rng, tmp_path):
+    """Checkpoint/resume reproduces the exact trajectory: params after
+    (2 steps, save, 1 step) == params after (load, restore, 1 step) —
+    proving momentum buffers and the step counter survive the round trip
+    (SURVEY.md §5 'Checkpoint / resume')."""
+    from fastdepth_tpu.checkpoint.io import (
+        load_train_checkpoint,
+        save_train_checkpoint,
+    )
+
+    model = build(CFG)
+    tc = TrainConfig(lr=0.05, momentum=0.9, weight_decay=1e-4)
+    rgb, depth = _data(rng)
+
+    t1 = Trainer(model, model.init(jax.random.PRNGKey(0)), tc)
+    for _ in range(2):
+        t1.state, _ = t1._step(t1.state, rgb, depth, jnp.float32(0.05))
+    path = str(tmp_path / "ck.npz")
+    save_train_checkpoint(path, t1.state, CFG, epoch=3,
+                          best_result={"rmse": 1.25},
+                          extra={"best_epoch": 2})
+    t1.state, _ = t1._step(t1.state, rgb, depth, jnp.float32(0.05))
+
+    tree, cfg2, meta = load_train_checkpoint(path)
+    assert cfg2 == CFG
+    assert meta["epoch"] == 3
+    assert meta["best_result"] == {"rmse": 1.25}
+    assert meta["extra"]["best_epoch"] == 2
+    # different init: restore must fully overwrite params AND momentum
+    t2 = Trainer(model, model.init(jax.random.PRNGKey(7)), tc)
+    t2.restore(tree)
+    assert int(t2.state.step) == 2
+    t2.state, _ = t2._step(t2.state, rgb, depth, jnp.float32(0.05))
+    for a, b in zip(jax.tree.leaves(t1.state.params),
+                    jax.tree.leaves(t2.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_params_only_checkpoint_rejected_for_resume(tmp_path):
+    """Resume must refuse a params-only checkpoint (model_best.npz) with
+    a message pointing at the right file."""
+    import pytest
+
+    from fastdepth_tpu.checkpoint.io import load_train_checkpoint, save_checkpoint
+
+    path = str(tmp_path / "p.npz")
+    save_checkpoint(path, {"a": np.ones(2, np.float32)}, ModelConfig(), epoch=0)
+    with pytest.raises(ValueError, match="params-only"):
+        load_train_checkpoint(path)
