@@ -106,8 +106,10 @@ def main():
     if best_fps:
         results["best_us_per_frame"] = round(1e6 / best_fps, 2)
         # aggregate conv-boundary roofline for the head-commuted forward,
-        # bf16 b128: 37.7 us/frame (docs/roofline.md)
-        results["x_roofline"] = round(1e6 / best_fps / 37.7, 2)
+        # bf16 b128: 37.7 us/frame (docs/roofline.md) — only meaningful
+        # when that config is the winner
+        if best_cfg == "bf16_opt_b128":
+            results["x_roofline"] = round(1e6 / best_fps / 37.7, 2)
     print(json.dumps({
         "metric": "224x224 NYUv2 frames/sec/chip",
         "value": round(best_fps, 1),

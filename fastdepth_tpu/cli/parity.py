@@ -68,6 +68,20 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+def normalize_golden_rgb(rgb):
+    """Golden rgb.npy -> model-ready [0,1] float array.
+
+    The reference's deploy/data/rgb.npy is ALREADY normalized — float in
+    [0,1], fed with no /255 by tx2_run_tvm.py:28-33 — so it must NOT be
+    divided again; only raw uint8-range inputs are rescaled."""
+    import numpy as np
+
+    x = np.asarray(rgb, np.float32)
+    if np.asarray(rgb).dtype == np.uint8 or float(x.max()) > 2.0:
+        x = x / 255.0
+    return x
+
+
 def _expected_for(path: str, args):
     if args.expected_rmse is not None and args.expected_delta1 is not None:
         return {"rmse_m": args.expected_rmse, "delta1": args.expected_delta1}
@@ -141,9 +155,9 @@ def main(argv=None) -> int:
             and os.path.isfile(os.path.join(golden_dir, "pred.npy")):
         import jax
 
-        rgb = np.load(os.path.join(golden_dir, "rgb.npy"))  # HWC uint8/float
+        rgb = np.load(os.path.join(golden_dir, "rgb.npy"))  # HWC
         pred_ref = np.load(os.path.join(golden_dir, "pred.npy"))  # 1,1,H,W
-        x = jnp.asarray(rgb, jnp.float32)[None] / 255.0  # NHWC, /255 (nyu.py:56)
+        x = jnp.asarray(normalize_golden_rgb(rgb))[None]
         folded = model.fold(params)
         out = np.asarray(jax.jit(model.apply)(folded, x))  # N,H,W,1
         out_nchw = np.transpose(out, (0, 3, 1, 2))

@@ -172,9 +172,10 @@ def make_marginal_fn(model, cfg, dup):
 
 def layer_roofline(cfg, batch: int, hw: int, dtype_bytes: int):
     """Per-attribution-point (macs, hbm_bytes, bound_s) estimates."""
+    from fastdepth_tpu.config import MOBILENET_STRIDES as strides
+
     enc = cfg.encoder_channels
     dec = cfg.decoder_channels
-    strides = (1, 2, 1, 2, 1, 2, 1, 1, 1, 1, 1, 2, 1)
     rows = []
     h = hw // 2  # after stem
     # stem: 3x3x3 dense conv, stride 2

@@ -95,10 +95,18 @@ def main(argv=None):
     )
     resume_tree = resume_meta = None
     if args.resume:
+        if args.pretrained_encoder:
+            raise SystemExit(
+                "--resume and --pretrained-encoder conflict: resume restores "
+                "the full checkpointed state, so the encoder load would be "
+                "discarded. Drop one of the two flags.")
         print(f"=> resuming from '{args.resume}'")
         resume_tree, ckpt_cfg, resume_meta = load_train_checkpoint(args.resume)
         model = build(ckpt_cfg)
-        params = numpy_to_jax(resume_tree["params"])
+        # numpy tree is fine here: Trainer.restore() below replaces the
+        # whole state (params + momentum + step) in one placement, so
+        # converting/placing params twice would be wasted transfers
+        params = resume_tree["params"]
     else:
         model = from_name(args.arch)
         params = model.init(jax.random.PRNGKey(args.seed))

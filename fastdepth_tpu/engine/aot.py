@@ -24,6 +24,11 @@ def _pick_apply(model: Model, fold_bn: bool, impl: str, batch_size: int = 2):
     stays on the straight graph (measured slower, docs/frontier.md)."""
     from fastdepth_tpu.models import fused as F
 
+    if impl == "opt" and not fold_bn:
+        raise ValueError(
+            "impl='opt' requires BN-folded params (fold_bn=True): the "
+            "head-commute fast path consumes {'w','b'} leaves only"
+        )
     use_opt = impl == "opt" or (
         impl == "auto" and fold_bn and batch_size > 1
         and F.supports_opt(model.config)

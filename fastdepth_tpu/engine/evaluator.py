@@ -69,6 +69,11 @@ class Evaluator:
 
         from fastdepth_tpu.models import fused as F
 
+        if impl == "opt" and not fold_bn:
+            raise ValueError(
+                "impl='opt' requires BN-folded params (fold_bn=True): the "
+                "head-commute fast path consumes {'w','b'} leaves only"
+            )
         # b1 measured slower through the opt graph on v5e (docs/frontier.md)
         use_opt = impl == "opt" or (
             impl == "auto" and fold_bn and batch_size > 1

@@ -58,3 +58,19 @@ def test_bundle_roundtrip_bf16(tmp_path, rng):
     folded16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), model.fold(params))
     ref = model.apply(folded16, x.astype(jnp.bfloat16)).astype(jnp.float32)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=2e-2)
+
+
+def test_opt_impl_requires_folded_params():
+    """impl='opt' on unfolded params must fail loudly up front, not with
+    a KeyError deep in the conv stack."""
+    import pytest
+
+    from fastdepth_tpu.engine.aot import compile_forward
+    from fastdepth_tpu.engine.evaluator import Evaluator
+
+    model = build(CFG)
+    params = model.init(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="folded"):
+        compile_forward(model, params, fold_bn=False, impl="opt")
+    with pytest.raises(ValueError, match="folded"):
+        Evaluator(model, params, fold_bn=False, impl="opt")

@@ -61,3 +61,19 @@ def test_parity_expected_row_inference():
     args = parse_args(["--evaluate", "x.npz", "--expected-rmse", "0.5",
                        "--expected-delta1", "0.8"])
     assert _expected_for("anything", args) == {"rmse_m": 0.5, "delta1": 0.8}
+
+
+def test_normalize_golden_rgb_no_double_division():
+    """The reference's golden rgb.npy is already float [0,1]
+    (deploy/tx2_run_tvm.py:28-33 feeds it with no /255) — it must NOT be
+    divided again; raw uint8-range inputs must be."""
+    import numpy as np
+
+    from fastdepth_tpu.cli.parity import normalize_golden_rgb
+
+    pre = np.random.RandomState(0).rand(8, 8, 3)  # float64 [0,1]
+    np.testing.assert_allclose(normalize_golden_rgb(pre), pre.astype(np.float32))
+    raw = (pre * 255).astype(np.uint8)
+    np.testing.assert_allclose(normalize_golden_rgb(raw), raw / 255.0)
+    rawf = (pre * 255).astype(np.float32)  # uint8-range float
+    np.testing.assert_allclose(normalize_golden_rgb(rawf), rawf / 255.0)
