@@ -1,0 +1,120 @@
+"""Micro-batching inference server: packing/padding correctness, the
+unix-socket protocol round trip, and the serve CLI loop."""
+
+import os
+import threading
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from fastdepth_tpu.config import ModelConfig
+from fastdepth_tpu.engine.server import (
+    InferenceServer,
+    request,
+    serve_unix_socket,
+)
+from fastdepth_tpu.models import build
+
+TINY_ENC = (4, 6, 8, 10, 12, 14, 16, 16, 16, 16, 16, 16, 20, 24)
+TINY_DEC = (18, 14, 10, 6, 4)
+CFG = ModelConfig(encoder_channels=TINY_ENC, decoder_channels=TINY_DEC)
+HW = 64
+
+
+def _model_and_params():
+    model = build(CFG)
+    params = model.init(jax.random.PRNGKey(0))
+    return model, params
+
+
+def test_server_matches_direct_forward(rng):
+    """Concurrent single-frame submits == the folded batch forward,
+    regardless of how requests were packed into device batches."""
+    model, params = _model_and_params()
+    frames = [rng.rand(HW, HW, 3).astype(np.float32) for _ in range(5)]
+    ref = np.asarray(model.apply(model.fold(params), jnp.asarray(np.stack(frames))))
+    with InferenceServer(model, params, batch_size=4, image_size=(HW, HW)) as srv:
+        futs = [srv.submit(f) for f in frames]
+        preds = [f.result(timeout=60) for f in futs]
+    for i, p in enumerate(preds):
+        assert p.shape == (HW, HW, 1)
+        np.testing.assert_allclose(p, ref[i], atol=1e-5)
+
+
+def test_server_pads_lone_request(rng):
+    """One request rides a zero-padded batch and still matches."""
+    model, params = _model_and_params()
+    frame = rng.rand(HW, HW, 3).astype(np.float32)
+    ref = np.asarray(model.apply(model.fold(params), jnp.asarray(frame[None])))[0]
+    with InferenceServer(model, params, batch_size=4, image_size=(HW, HW)) as srv:
+        np.testing.assert_allclose(srv(frame), ref, atol=1e-5)
+
+
+def test_server_rejects_wrong_shape():
+    import pytest
+
+    model, params = _model_and_params()
+    with InferenceServer(model, params, batch_size=2, image_size=(HW, HW)) as srv:
+        with pytest.raises(ValueError, match="HWC"):
+            srv.submit(np.zeros((HW, HW), np.float32))
+
+
+def test_unix_socket_round_trip(rng, tmp_path):
+    """Full client/server protocol: length-prefixed npy frames over a
+    unix socket, many requests per connection."""
+    model, params = _model_and_params()
+    sock = str(tmp_path / "fd.sock")
+    stop = threading.Event()
+    ready = threading.Event()
+    with InferenceServer(model, params, batch_size=2, image_size=(HW, HW)) as srv:
+        t = threading.Thread(
+            target=serve_unix_socket,
+            args=(srv, sock),
+            kwargs={"ready": ready, "stop": stop, "log": lambda *a: None},
+            daemon=True,
+        )
+        t.start()
+        assert ready.wait(timeout=10)
+        frames = [rng.rand(HW, HW, 3).astype(np.float32) for _ in range(3)]
+        ref = np.asarray(model.apply(model.fold(params), jnp.asarray(np.stack(frames))))
+        for i, f in enumerate(frames):
+            np.testing.assert_allclose(request(sock, f), ref[i], atol=1e-5)
+        stop.set()
+        t.join(timeout=5)
+    assert not os.path.exists(sock)
+
+
+def test_serve_cli_ping(rng, tmp_path, capsys):
+    """The CLI's client mode against a live server (CHW input accepted,
+    NCHW prediction saved like the reference deploy runner)."""
+    from fastdepth_tpu.cli import serve as serve_cli
+
+    model, params = _model_and_params()
+    sock = str(tmp_path / "fd.sock")
+    stop = threading.Event()
+    ready = threading.Event()
+    frame = rng.rand(HW, HW, 3).astype(np.float32)
+    rgb_path = str(tmp_path / "rgb.npy")
+    np.save(rgb_path, np.transpose(frame, (2, 0, 1)))  # CHW like deploy data
+    out_path = str(tmp_path / "pred.npy")
+    with InferenceServer(model, params, batch_size=2, image_size=(HW, HW)) as srv:
+        t = threading.Thread(
+            target=serve_unix_socket,
+            args=(srv, sock),
+            kwargs={"ready": ready, "stop": stop, "log": lambda *a: None},
+            daemon=True,
+        )
+        t.start()
+        assert ready.wait(timeout=10)
+        rc = serve_cli.main(["--socket", sock, "--ping", rgb_path,
+                             "--ping-out", out_path])
+        stop.set()
+        t.join(timeout=5)
+    assert rc == 0
+    assert "pred shape=(64, 64, 1)" in capsys.readouterr().out
+    ref = np.asarray(model.apply(model.fold(params), jnp.asarray(frame[None])))
+    saved = np.load(out_path)
+    assert saved.shape == (1, 1, HW, HW)
+    np.testing.assert_allclose(saved[0, 0], ref[0, :, :, 0], atol=1e-5)
