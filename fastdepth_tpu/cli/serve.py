@@ -31,6 +31,13 @@ def parse_args(argv=None):
     p.add_argument("--batch-size", type=int, default=32,
                    help="compiled device batch; requests are packed into it")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--uint8", action="store_true",
+                   help="accept raw uint8 [0,255] frames and normalize "
+                        "(/255) on device: 4x less socket+transfer traffic, "
+                        "identical math to the host path")
+    p.add_argument("--half-output", action="store_true",
+                   help="return float16 predictions (half the response "
+                        "payload; ~1 cm quantization at 10 m)")
     p.add_argument("--impl", default="auto", choices=["auto", "xla", "opt"])
     p.add_argument("--image-size", type=int, nargs=2, default=(224, 224),
                    metavar=("H", "W"))
@@ -40,6 +47,9 @@ def parse_args(argv=None):
     p.add_argument("--ping-out", default=None, metavar="PRED_NPY",
                    help="with --ping: also save the prediction (NCHW, like "
                         "the reference deploy runner)")
+    p.add_argument("--stats-every", type=float, default=30.0, metavar="SEC",
+                   help="log served-frames/occupancy stats every SEC seconds "
+                        "(0 disables)")
     return p.parse_args(argv)
 
 
@@ -54,7 +64,9 @@ def main(argv=None):
         rgb = np.load(args.ping)
         if rgb.ndim == 3 and rgb.shape[0] == 3:  # CHW -> HWC
             rgb = np.transpose(rgb, (1, 2, 0))
-        pred = request(args.socket, rgb.astype(np.float32))
+        if rgb.dtype != np.uint8:  # uint8 passes through (uint8 servers)
+            rgb = rgb.astype(np.float32)
+        pred = request(args.socket, rgb)
         print(f"pred shape={pred.shape} min={pred.min():.4f} "
               f"max={pred.max():.4f} mean={pred.mean():.4f}")
         if args.ping_out:
@@ -78,7 +90,25 @@ def main(argv=None):
         image_size=tuple(args.image_size),
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         impl=args.impl,
+        input_dtype=np.uint8 if args.uint8 else np.float32,
+        output_dtype=np.float16 if args.half_output else np.float32,
     )
+    if args.stats_every > 0:
+        import threading
+        import time
+
+        def stats_loop():
+            last = 0
+            while True:
+                time.sleep(args.stats_every)
+                s = server.stats()
+                if s["frames"] != last:
+                    last = s["frames"]
+                    print(f"=> served {s['frames']} frames in {s['batches']} "
+                          f"batches (occupancy {s['mean_occupancy']:.0%}, "
+                          f"queued {s['queued']})", flush=True)
+
+        threading.Thread(target=stats_loop, daemon=True).start()
     try:
         serve_unix_socket(server, args.socket)
     except KeyboardInterrupt:

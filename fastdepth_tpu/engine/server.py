@@ -43,7 +43,16 @@ class InferenceServer:
         fold_bn: bool = True,
         impl: str = "auto",
         max_queue: int = 1024,
+        input_dtype=np.float32,
+        output_dtype=np.float32,
+        pipeline_depth: int = 2,
     ):
+        """``input_dtype=np.uint8`` accepts raw [0,255] frames and
+        normalizes (/255) on device — 4x less socket/host-to-device
+        traffic, identical math to the host path (the Evaluator's
+        --device-normalize design).  ``output_dtype=np.float16`` halves
+        the prediction payload (cast on device, so the link carries
+        2 bytes/px; ~1 cm quantization at 10 m depth)."""
         import jax
         import jax.numpy as jnp
 
@@ -59,12 +68,25 @@ class InferenceServer:
                 params,
             )
         self.params = jax.device_put(params)
+        self.input_dtype = np.dtype(input_dtype)
+        if self.input_dtype not in (np.dtype(np.float32), np.dtype(np.uint8)):
+            raise ValueError(f"input_dtype must be float32 or uint8, got {input_dtype}")
+        normalize = self.input_dtype == np.uint8
+        self.output_dtype = np.dtype(output_dtype)
+        if self.output_dtype not in (np.dtype(np.float32), np.dtype(np.float16)):
+            raise ValueError(
+                f"output_dtype must be float32 or float16, got {output_dtype}")
+        out_jdt = jnp.float16 if self.output_dtype == np.float16 else jnp.float32
         apply_fn = _pick_apply(model, fold_bn, impl, batch_size)
 
         def forward(p, x):
-            return apply_fn(p, x.astype(dtype)).astype(jnp.float32)
+            x = x.astype(dtype) / 255.0 if normalize else x.astype(dtype)
+            return apply_fn(p, x).astype(out_jdt)
 
         self._fn = jax.jit(forward)
+        self.pipeline_depth = pipeline_depth
+        self._frames = 0
+        self._batches = 0
         self.batch_size = batch_size
         self.image_size = tuple(image_size)
         self._q: "queue.Queue" = queue.Queue(maxsize=max_queue)
@@ -75,10 +97,14 @@ class InferenceServer:
     # ---- client side ----
 
     def submit(self, rgb: np.ndarray) -> Future:
-        """Enqueue one HWC float32 RGB frame; returns a Future of the
-        (H, W, 1) float32 prediction."""
+        """Enqueue one HWC RGB frame of the server's ``input_dtype``;
+        returns a Future of the (H, W, 1) ``output_dtype`` prediction."""
         h, w = self.image_size
-        rgb = np.asarray(rgb, np.float32)
+        rgb = np.asarray(rgb)
+        if rgb.dtype != self.input_dtype:
+            raise ValueError(
+                f"expected {self.input_dtype} frames "
+                f"(server input_dtype), got {rgb.dtype}")
         if rgb.shape != (h, w, 3):
             raise ValueError(f"expected ({h}, {w}, 3) HWC rgb, got {rgb.shape}")
         fut: Future = Future()
@@ -88,18 +114,58 @@ class InferenceServer:
     def __call__(self, rgb: np.ndarray) -> np.ndarray:
         return self.submit(rgb).result()
 
+    def stats(self) -> dict:
+        """Served-so-far counters; mean_occupancy is the average fraction
+        of the compiled batch that carried real frames — low values mean
+        the batch size outruns the offered load."""
+        b = self._batches
+        return {
+            "frames": self._frames,
+            "batches": b,
+            "batch_size": self.batch_size,
+            "mean_occupancy": round(self._frames / (b * self.batch_size), 3)
+            if b else 0.0,
+            "queued": self._q.qsize(),
+        }
+
     # ---- drainer ----
 
     def _drain(self):
+        """Pack + dispatch loop, pipelined ``pipeline_depth`` batches deep.
+
+        The result fetch is the expensive host step (a full transport
+        round trip on tunneled PJRT), so batch k+1 is DISPATCHED before
+        batch k's result is fetched — the device queue never starves on
+        the host sync.  Under light load (nothing else queued) pending
+        batches resolve immediately, keeping single-request latency at
+        one device step."""
+        from collections import deque
+
         h, w = self.image_size
-        batch = np.zeros((self.batch_size, h, w, 3), np.float32)
+        pending: deque = deque()  # (device_out, items)
+
+        def resolve(entry):
+            out, items = entry
+            try:
+                preds = np.asarray(out)  # host fetch == device sync
+            except Exception as e:  # resolve, don't wedge the clients
+                for _, fut in items:
+                    if not fut.cancelled():
+                        fut.set_exception(e)
+                return
+            for i, (_, fut) in enumerate(items):
+                if not fut.cancelled():
+                    fut.set_result(preds[i])
+
         while not self._stop.is_set():
             try:
-                first = self._q.get(timeout=0.1)
+                first = self._q.get(timeout=0.02 if pending else 0.1)
             except queue.Empty:
+                while pending:
+                    resolve(pending.popleft())
                 continue
             if first is None:
-                return
+                break
             items = [first]
             # pack whatever else is already waiting, up to the batch
             while len(items) < self.batch_size:
@@ -111,21 +177,28 @@ class InferenceServer:
                     self._stop.set()
                     break
                 items.append(nxt)
-            n = len(items)
+            # fresh buffer per dispatch: pending batches must not alias
+            batch = np.zeros((self.batch_size, h, w, 3), self.input_dtype)
             for i, (rgb, _) in enumerate(items):
                 batch[i] = rgb
-            if n < self.batch_size:
-                batch[n:] = 0.0
             try:
-                preds = np.asarray(self._fn(self.params, batch))
-            except Exception as e:  # resolve, don't wedge the clients
+                out = self._fn(self.params, batch)  # async dispatch
+            except Exception as e:
                 for _, fut in items:
                     if not fut.cancelled():
                         fut.set_exception(e)
                 continue
-            for i, (_, fut) in enumerate(items):
-                if not fut.cancelled():
-                    fut.set_result(preds[i])
+            pending.append((out, items))
+            self._frames += len(items)
+            self._batches += 1
+            if self._q.empty():
+                while pending:  # light load: resolve now, lowest latency
+                    resolve(pending.popleft())
+            else:
+                while len(pending) > self.pipeline_depth:
+                    resolve(pending.popleft())
+        while pending:
+            resolve(pending.popleft())
 
     def close(self):
         self._stop.set()
@@ -201,7 +274,7 @@ def request(sock_path: str, rgb: np.ndarray) -> np.ndarray:
     c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
     c.connect(sock_path)
     try:
-        _send_npy(c, np.asarray(rgb, np.float32))
+        _send_npy(c, np.asarray(rgb))  # dtype must match the server's input_dtype
         out = _recv_npy(c)
         if out is None:
             raise ConnectionError("server closed the connection")

@@ -118,3 +118,58 @@ def test_serve_cli_ping(rng, tmp_path, capsys):
     saved = np.load(out_path)
     assert saved.shape == (1, 1, HW, HW)
     np.testing.assert_allclose(saved[0, 0], ref[0, :, :, 0], atol=1e-5)
+
+
+def test_server_uint8_device_normalize(rng):
+    """uint8 ingestion == float path on the same /255'd frames (the
+    Evaluator's --device-normalize math, 4x less transfer)."""
+    import pytest
+
+    model, params = _model_and_params()
+    raw = (rng.rand(HW, HW, 3) * 255).astype(np.uint8)
+    ref = np.asarray(model.apply(
+        model.fold(params), jnp.asarray(raw[None].astype(np.float32) / 255.0)))[0]
+    with InferenceServer(model, params, batch_size=2, image_size=(HW, HW),
+                         input_dtype=np.uint8) as srv:
+        np.testing.assert_allclose(srv(raw), ref, atol=1e-5)
+        with pytest.raises(ValueError, match="input_dtype"):
+            srv.submit(raw.astype(np.float32))
+
+
+def test_server_pipelined_burst(rng):
+    """A deep burst (many batches in flight) resolves every future
+    correctly with the pipelined drainer."""
+    model, params = _model_and_params()
+    frames = [rng.rand(HW, HW, 3).astype(np.float32) for _ in range(33)]
+    ref = np.asarray(model.apply(model.fold(params), jnp.asarray(np.stack(frames))))
+    with InferenceServer(model, params, batch_size=8, image_size=(HW, HW),
+                         pipeline_depth=3) as srv:
+        futs = [srv.submit(f) for f in frames]
+        for i, f in enumerate(futs):
+            np.testing.assert_allclose(f.result(timeout=120), ref[i], atol=1e-5)
+
+
+def test_server_stats_counters(rng):
+    model, params = _model_and_params()
+    with InferenceServer(model, params, batch_size=4, image_size=(HW, HW)) as srv:
+        futs = [srv.submit(rng.rand(HW, HW, 3).astype(np.float32))
+                for _ in range(6)]
+        for f in futs:
+            f.result(timeout=60)
+        s = srv.stats()
+    assert s["frames"] == 6
+    assert s["batches"] >= 2  # 6 frames through batch-4 packing
+    assert 0 < s["mean_occupancy"] <= 1.0
+
+
+def test_server_float16_output(rng):
+    """output_dtype=float16 halves the payload; values match fp32 within
+    f16 precision."""
+    model, params = _model_and_params()
+    frame = rng.rand(HW, HW, 3).astype(np.float32)
+    ref = np.asarray(model.apply(model.fold(params), jnp.asarray(frame[None])))[0]
+    with InferenceServer(model, params, batch_size=2, image_size=(HW, HW),
+                         output_dtype=np.float16) as srv:
+        pred = srv(frame)
+    assert pred.dtype == np.float16
+    np.testing.assert_allclose(pred.astype(np.float32), ref, atol=2e-3)
