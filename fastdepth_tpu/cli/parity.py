@@ -57,6 +57,13 @@ def parse_args(argv=None):
     p.add_argument("--expected-delta1", type=float, default=None)
     p.add_argument("--tolerance", type=float, default=1e-3,
                    help="max |measured - published| for RMSE [m] and delta1")
+    p.add_argument("--golden-prenormalized", default="auto",
+                   choices=["auto", "yes", "no"],
+                   help="is rgb.npy already in [0,1]? 'auto' infers from "
+                        "dtype/range (uint8 or max>2 -> raw, /255 applied) "
+                        "and prints the decision; override for ambiguous "
+                        "float inputs (e.g. a raw [0,255] float frame of a "
+                        "dark scene)")
     p.add_argument("--golden-atol", type=float, default=1e-2,
                    help="max-abs-diff [m] allowed vs pred.npy (the golden was "
                         "produced by the TVM fp32 build; bit-identity across "
@@ -68,18 +75,27 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def normalize_golden_rgb(rgb):
+def normalize_golden_rgb(rgb, mode: str = "auto", log=None):
     """Golden rgb.npy -> model-ready [0,1] float array.
 
     The reference's deploy/data/rgb.npy is ALREADY normalized — float in
     [0,1], fed with no /255 by tx2_run_tvm.py:28-33 — so it must NOT be
-    divided again; only raw uint8-range inputs are rescaled."""
+    divided again; raw uint8-range inputs are rescaled.  ``mode``:
+    'yes' = input is pre-normalized, 'no' = raw [0,255], 'auto' = infer
+    from dtype/range (uint8 or max>2 -> raw) and report the decision —
+    the one ambiguous case is a raw float frame so dark that max<=2."""
     import numpy as np
 
     x = np.asarray(rgb, np.float32)
-    if np.asarray(rgb).dtype == np.uint8 or float(x.max()) > 2.0:
-        x = x / 255.0
-    return x
+    if mode == "auto":
+        raw = np.asarray(rgb).dtype == np.uint8 or float(x.max()) > 2.0
+        if log is not None:
+            log(f"golden rgb.npy treated as "
+                f"{'raw [0,255] (/255 applied)' if raw else 'pre-normalized [0,1]'}"
+                f" — override with --golden-prenormalized if wrong")
+    else:
+        raw = mode == "no"
+    return x / 255.0 if raw else x
 
 
 def _expected_for(path: str, args):
@@ -157,7 +173,8 @@ def main(argv=None) -> int:
 
         rgb = np.load(os.path.join(golden_dir, "rgb.npy"))  # HWC
         pred_ref = np.load(os.path.join(golden_dir, "pred.npy"))  # 1,1,H,W
-        x = jnp.asarray(normalize_golden_rgb(rgb))[None]
+        x = jnp.asarray(normalize_golden_rgb(
+            rgb, mode=args.golden_prenormalized, log=print))[None]
         folded = model.fold(params)
         out = np.asarray(jax.jit(model.apply)(folded, x))  # N,H,W,1
         out_nchw = np.transpose(out, (0, 3, 1, 2))

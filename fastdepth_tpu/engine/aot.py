@@ -18,19 +18,22 @@ import jax.numpy as jnp
 from fastdepth_tpu.models.registry import Model
 
 
-def _pick_apply(model: Model, fold_bn: bool, impl: str, batch_size: int = 2):
-    """'auto' -> head-commute fast path when supported + BN folded
+def _pick_apply(model: Model, params, impl: str, batch_size: int = 2):
+    """'auto' -> head-commute fast path when supported + params folded
     (bit-exact: tests/test_models.py::test_opt_forward_exact); batch 1
-    stays on the straight graph (measured slower, docs/frontier.md)."""
+    stays on the straight graph (measured slower, docs/frontier.md).
+    Folded-ness is read off the params tree, so pre-folded checkpoints
+    (fold_bn=False callers) still get the fast path."""
     from fastdepth_tpu.models import fused as F
 
-    if impl == "opt" and not fold_bn:
+    folded = not F.tree_has_bn(params)
+    if impl == "opt" and not folded:
         raise ValueError(
-            "impl='opt' requires BN-folded params (fold_bn=True): the "
-            "head-commute fast path consumes {'w','b'} leaves only"
+            "impl='opt' requires BN-folded params ({'w','b'} leaves): "
+            "fold via Model.fold (or pass fold_bn=True)"
         )
     use_opt = impl == "opt" or (
-        impl == "auto" and fold_bn and batch_size > 1
+        impl == "auto" and folded and batch_size > 1
         and F.supports_opt(model.config)
     )
     if use_opt:
@@ -61,7 +64,7 @@ def compile_forward(
             params,
         )
 
-    apply_fn = _pick_apply(model, fold_bn, impl, batch_size)
+    apply_fn = _pick_apply(model, params, impl, batch_size)
 
     def forward(p, x):
         return apply_fn(p, x.astype(dtype)).astype(jnp.float32)
@@ -104,7 +107,7 @@ def save_bundle(
             params,
         )
 
-    apply_fn = _pick_apply(model, fold_bn, impl, batch_size)
+    apply_fn = _pick_apply(model, params, impl, batch_size)
 
     def forward(p, x):
         return apply_fn(p, x.astype(dtype)).astype(jnp.float32)

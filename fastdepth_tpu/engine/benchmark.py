@@ -128,6 +128,7 @@ def throughput_sweep(
         compiled, prepared = compile_forward(
             model, params, batch_size=b, image_size=image_size, dtype=dtype,
             fold_bn=False,  # caller pre-folds; avoid double fold
+            impl="xla",  # this sweep measures the straight folded forward
         )
         x = jnp.asarray(rng.rand(b, *image_size, 3), jnp.float32)
         stats = time_pipelined(compiled, (prepared, x), warmup=warmup, calls=calls)

@@ -69,14 +69,17 @@ class Evaluator:
 
         from fastdepth_tpu.models import fused as F
 
-        if impl == "opt" and not fold_bn:
+        # folded-ness read off the tree so pre-folded checkpoints
+        # (fold_bn=False) still get the fast path
+        folded = not F.tree_has_bn(params)
+        if impl == "opt" and not folded:
             raise ValueError(
-                "impl='opt' requires BN-folded params (fold_bn=True): the "
-                "head-commute fast path consumes {'w','b'} leaves only"
+                "impl='opt' requires BN-folded params ({'w','b'} leaves): "
+                "fold via Model.fold (or pass fold_bn=True)"
             )
         # b1 measured slower through the opt graph on v5e (docs/frontier.md)
         use_opt = impl == "opt" or (
-            impl == "auto" and fold_bn and batch_size > 1
+            impl == "auto" and folded and batch_size > 1
             and F.supports_opt(model.config)
         )
         apply_fn = (

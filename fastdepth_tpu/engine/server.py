@@ -22,6 +22,20 @@ from typing import Optional
 import numpy as np
 
 
+def _resolve_future(fut: Future, value=None, exc=None) -> None:
+    """Resolve a client future, immune to a racing ``cancel()``:
+    ``set_running_or_notify_cancel`` atomically claims the future (after
+    which cancel can no longer succeed) or reports it already cancelled —
+    a bare ``cancelled()`` check would TOCTOU-race and the resulting
+    InvalidStateError would kill the drainer thread."""
+    if not fut.set_running_or_notify_cancel():
+        return
+    if exc is not None:
+        fut.set_exception(exc)
+    else:
+        fut.set_result(value)
+
+
 class InferenceServer:
     """Queue + drainer over a jitted fixed-batch forward.
 
@@ -77,7 +91,7 @@ class InferenceServer:
             raise ValueError(
                 f"output_dtype must be float32 or float16, got {output_dtype}")
         out_jdt = jnp.float16 if self.output_dtype == np.float16 else jnp.float32
-        apply_fn = _pick_apply(model, fold_bn, impl, batch_size)
+        apply_fn = _pick_apply(model, params, impl, batch_size)
 
         def forward(p, x):
             x = x.astype(dtype) / 255.0 if normalize else x.astype(dtype)
@@ -107,6 +121,8 @@ class InferenceServer:
                 f"(server input_dtype), got {rgb.dtype}")
         if rgb.shape != (h, w, 3):
             raise ValueError(f"expected ({h}, {w}, 3) HWC rgb, got {rgb.shape}")
+        if self._stop.is_set():
+            raise RuntimeError("server is closed")
         fut: Future = Future()
         self._q.put((rgb, fut))
         return fut
@@ -150,12 +166,11 @@ class InferenceServer:
                 preds = np.asarray(out)  # host fetch == device sync
             except Exception as e:  # resolve, don't wedge the clients
                 for _, fut in items:
-                    if not fut.cancelled():
-                        fut.set_exception(e)
+                    _resolve_future(fut, exc=e)
                 return
             for i, (_, fut) in enumerate(items):
-                if not fut.cancelled():
-                    fut.set_result(preds[i])
+                # copy: preds[i] is a view pinning the whole batch buffer
+                _resolve_future(fut, value=preds[i].copy())
 
         while not self._stop.is_set():
             try:
@@ -185,8 +200,7 @@ class InferenceServer:
                 out = self._fn(self.params, batch)  # async dispatch
             except Exception as e:
                 for _, fut in items:
-                    if not fut.cancelled():
-                        fut.set_exception(e)
+                    _resolve_future(fut, exc=e)
                 continue
             pending.append((out, items))
             self._frames += len(items)
@@ -204,6 +218,15 @@ class InferenceServer:
         self._stop.set()
         self._q.put(None)
         self._thread.join(timeout=5)
+        # fail anything that raced in behind the sentinel — its future
+        # would otherwise never resolve and hang a waiting client
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                _resolve_future(item[1], exc=RuntimeError("server is closed"))
 
     def __enter__(self):
         return self
@@ -223,8 +246,11 @@ def serve_unix_socket(
     """Accept loop: length-prefixed ``.npy`` frames over a unix socket.
 
     Protocol per request: 4-byte big-endian length + ``np.save`` bytes of
-    an (H, W, 3) float32 array; the response is the same framing around
-    the (H, W, 1) float32 prediction.  One connection may stream many
+    an (H, W, 3) array of the server's ``input_dtype`` (float32 by
+    default; uint8 for a ``--uint8`` server — a wrong dtype/shape drops
+    the connection with a server-side log); the response is the same
+    framing around the (H, W, 1) ``output_dtype`` prediction (float32,
+    or float16 under ``--half-output``).  One connection may stream many
     requests; each is answered in order.
     """
     import os
@@ -232,7 +258,17 @@ def serve_unix_socket(
 
     stop = stop or threading.Event()
     if os.path.exists(sock_path):
-        os.unlink(sock_path)
+        # refuse to hijack a LIVE daemon's socket; unlink only stale ones
+        probe = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        try:
+            probe.connect(sock_path)
+            raise RuntimeError(
+                f"{sock_path} already has a live server — pick another "
+                "--socket path or stop the running daemon")
+        except (ConnectionRefusedError, FileNotFoundError):
+            os.unlink(sock_path)  # stale leftover from a dead process
+        finally:
+            probe.close()
     srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
     srv.bind(sock_path)
     srv.listen(64)

@@ -212,6 +212,15 @@ def supports_opt(cfg: ModelConfig) -> bool:
     return cfg.encoder == "mobilenet" and cfg.decoder in _NNCONV_NAMES
 
 
+def tree_has_bn(params) -> bool:
+    """True if any unfolded ``{'w','bn'}`` block remains — the opt/fused
+    paths need folded ``{'w','b'}`` leaves.  Inspecting the tree (rather
+    than a fold_bn flag) keeps pre-folded checkpoints first-class."""
+    if isinstance(params, dict):
+        return any(k == "bn" or tree_has_bn(v) for k, v in params.items())
+    return False
+
+
 def apply_fastdepth_mixed(
     params: Dict,
     x: Array,

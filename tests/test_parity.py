@@ -77,3 +77,20 @@ def test_normalize_golden_rgb_no_double_division():
     np.testing.assert_allclose(normalize_golden_rgb(raw), raw / 255.0)
     rawf = (pre * 255).astype(np.float32)  # uint8-range float
     np.testing.assert_allclose(normalize_golden_rgb(rawf), rawf / 255.0)
+
+
+def test_normalize_golden_rgb_explicit_modes():
+    """--golden-prenormalized yes/no overrides the auto heuristic (the
+    ambiguous case: a raw [0,255] float frame of a dark scene)."""
+    import numpy as np
+
+    from fastdepth_tpu.cli.parity import normalize_golden_rgb
+
+    dark_raw = np.full((4, 4, 3), 1.5, np.float32)  # raw [0,255], max<=2
+    np.testing.assert_allclose(
+        normalize_golden_rgb(dark_raw, mode="no"), dark_raw / 255.0)
+    np.testing.assert_allclose(
+        normalize_golden_rgb(dark_raw, mode="yes"), dark_raw)
+    msgs = []
+    normalize_golden_rgb(dark_raw, mode="auto", log=msgs.append)
+    assert "pre-normalized" in msgs[0]  # auto decides (and says so)

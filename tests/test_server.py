@@ -173,3 +173,56 @@ def test_server_float16_output(rng):
         pred = srv(frame)
     assert pred.dtype == np.float16
     np.testing.assert_allclose(pred.astype(np.float32), ref, atol=2e-3)
+
+
+def test_server_survives_cancelled_futures(rng):
+    """A future cancelled before resolution must not kill the drainer
+    (set_running_or_notify_cancel claims it atomically)."""
+    model, params = _model_and_params()
+    frames = [rng.rand(HW, HW, 3).astype(np.float32) for _ in range(4)]
+    with InferenceServer(model, params, batch_size=2, image_size=(HW, HW)) as srv:
+        futs = [srv.submit(f) for f in frames]
+        futs[1].cancel()  # may or may not land before the drainer claims it
+        done = [f.result(timeout=60) for f in futs if not f.cancelled()]
+        assert len(done) in (3, 4)
+        # the drainer is still alive and serving
+        assert srv(frames[0]).shape == (HW, HW, 1)
+
+
+def test_server_submit_after_close_raises():
+    import pytest
+
+    model, params = _model_and_params()
+    srv = InferenceServer(model, params, batch_size=2, image_size=(HW, HW))
+    srv.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        srv.submit(np.zeros((HW, HW, 3), np.float32))
+
+
+def test_server_result_owns_its_buffer(rng):
+    """Predictions must be copies, not views pinning the whole batch."""
+    model, params = _model_and_params()
+    with InferenceServer(model, params, batch_size=4, image_size=(HW, HW)) as srv:
+        pred = srv(rng.rand(HW, HW, 3).astype(np.float32))
+    assert pred.base is None
+
+
+def test_socket_refuses_live_hijack(rng, tmp_path):
+    """A second daemon must refuse a socket path a live server owns."""
+    import pytest
+
+    model, params = _model_and_params()
+    sock = str(tmp_path / "fd.sock")
+    stop = threading.Event()
+    ready = threading.Event()
+    with InferenceServer(model, params, batch_size=2, image_size=(HW, HW)) as srv:
+        t = threading.Thread(
+            target=serve_unix_socket, args=(srv, sock),
+            kwargs={"ready": ready, "stop": stop, "log": lambda *a: None},
+            daemon=True)
+        t.start()
+        assert ready.wait(timeout=10)
+        with pytest.raises(RuntimeError, match="live server"):
+            serve_unix_socket(srv, sock, log=lambda *a: None)
+        stop.set()
+        t.join(timeout=5)
