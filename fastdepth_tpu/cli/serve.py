@@ -39,6 +39,9 @@ def parse_args(argv=None):
                    help="return float16 predictions (half the response "
                         "payload; ~1 cm quantization at 10 m)")
     p.add_argument("--impl", default="auto", choices=["auto", "xla", "opt"])
+    p.add_argument("--mesh-devices", type=int, default=None, metavar="N",
+                   help="shard each packed batch over an N-device "
+                        "data-parallel mesh (params replicate)")
     p.add_argument("--image-size", type=int, nargs=2, default=(224, 224),
                    metavar=("H", "W"))
     p.add_argument("--ping", default=None, metavar="RGB_NPY",
@@ -84,6 +87,11 @@ def main(argv=None):
 
     print(f"=> loading model '{args.evaluate}'")
     params, model, meta = load_params_and_model(args.evaluate)
+    mesh = None
+    if args.mesh_devices:
+        from fastdepth_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.mesh_devices)
     server = InferenceServer(
         model, params,
         batch_size=args.batch_size,
@@ -92,6 +100,7 @@ def main(argv=None):
         impl=args.impl,
         input_dtype=np.uint8 if args.uint8 else np.float32,
         output_dtype=np.float16 if args.half_output else np.float32,
+        mesh=mesh,
     )
     if args.stats_every > 0:
         import threading

@@ -60,13 +60,17 @@ class InferenceServer:
         input_dtype=np.float32,
         output_dtype=np.float32,
         pipeline_depth: int = 2,
+        mesh=None,
     ):
         """``input_dtype=np.uint8`` accepts raw [0,255] frames and
         normalizes (/255) on device — 4x less socket/host-to-device
         traffic, identical math to the host path (the Evaluator's
         --device-normalize design).  ``output_dtype=np.float16`` halves
         the prediction payload (cast on device, so the link carries
-        2 bytes/px; ~1 cm quantization at 10 m depth)."""
+        2 bytes/px; ~1 cm quantization at 10 m depth).  ``mesh``: a 1-D
+        data-parallel ``jax.sharding.Mesh`` — params replicate, each
+        packed batch shards over the devices (multi-chip serving;
+        batch_size must divide by the mesh size)."""
         import jax
         import jax.numpy as jnp
 
@@ -81,7 +85,18 @@ class InferenceServer:
                 if jnp.issubdtype(a.dtype, jnp.floating) else a,
                 params,
             )
-        self.params = jax.device_put(params)
+        self.mesh = mesh
+        if mesh is not None:
+            from fastdepth_tpu.parallel import mesh as mesh_lib
+
+            n_dev = mesh.devices.size
+            if batch_size % n_dev:
+                raise ValueError(
+                    f"batch_size {batch_size} must divide by the "
+                    f"{n_dev}-device mesh")
+            self.params = mesh_lib.put_replicated(params, mesh)
+        else:
+            self.params = jax.device_put(params)
         self.input_dtype = np.dtype(input_dtype)
         if self.input_dtype not in (np.dtype(np.float32), np.dtype(np.uint8)):
             raise ValueError(f"input_dtype must be float32 or uint8, got {input_dtype}")
@@ -97,7 +112,17 @@ class InferenceServer:
             x = x.astype(dtype) / 255.0 if normalize else x.astype(dtype)
             return apply_fn(p, x).astype(out_jdt)
 
-        self._fn = jax.jit(forward)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._fn = jax.jit(
+                forward,
+                in_shardings=(NamedSharding(mesh, P()),
+                              NamedSharding(mesh, P("data"))),
+                out_shardings=NamedSharding(mesh, P("data")),
+            )
+        else:
+            self._fn = jax.jit(forward)
         self.pipeline_depth = pipeline_depth
         self._frames = 0
         self._batches = 0

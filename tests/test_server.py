@@ -226,3 +226,26 @@ def test_socket_refuses_live_hijack(rng, tmp_path):
             serve_unix_socket(srv, sock, log=lambda *a: None)
         stop.set()
         t.join(timeout=5)
+
+
+def test_server_mesh_sharded_matches_single_device(rng):
+    """A mesh-backed server (batch sharded over the 8-device CPU mesh)
+    returns the same predictions as the single-device server."""
+    import pytest
+
+    from fastdepth_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-virtual-device mesh")
+    model, params = _model_and_params()
+    frames = [rng.rand(HW, HW, 3).astype(np.float32) for _ in range(5)]
+    ref = np.asarray(model.apply(model.fold(params), jnp.asarray(np.stack(frames))))
+    mesh = make_mesh(8)
+    with InferenceServer(model, params, batch_size=8, image_size=(HW, HW),
+                         mesh=mesh) as srv:
+        futs = [srv.submit(f) for f in frames]
+        for i, f in enumerate(futs):
+            np.testing.assert_allclose(f.result(timeout=120), ref[i], atol=1e-5)
+    with pytest.raises(ValueError, match="divide"):
+        InferenceServer(model, params, batch_size=6, image_size=(HW, HW),
+                        mesh=mesh)
