@@ -47,6 +47,11 @@ def parse_args(argv=None):
                    help="dataset split (holdout = the two NetAdapt files, nyu.py:13-24)")
     p.add_argument("--device-normalize", action="store_true",
                    help="send uint8 RGB and /255 on device (less host->device transfer)")
+    p.add_argument("--device-preprocess", action="store_true",
+                   help="run the whole val resize/crop chain ON DEVICE as a "
+                        "gather inside the jitted step (raw 480x640 frames "
+                        "ship to the chip; host work drops to the h5 read; "
+                        "identical values to the host pipeline)")
     p.add_argument("--csv", default=None, help="append final metrics to this CSV")
     return p.parse_args(argv)
 
@@ -79,7 +84,8 @@ def main(argv=None):
     print("=> creating data loaders...")
     valdir = os.path.join(args.data_root, args.data, "val")
     dataset = NYUDataset(valdir, split=args.split, modality=args.modality,
-                         device_normalize=args.device_normalize)
+                         device_normalize=args.device_normalize,
+                         raw_items=args.device_preprocess)
     loader = BatchLoader(
         dataset, batch_size=args.batch_size, num_workers=args.workers,
         pad_last=True,
@@ -94,6 +100,7 @@ def main(argv=None):
         mesh=mesh,
         fold_bn=not args.no_fold_bn,
         impl=args.impl,
+        val_pipeline=dataset.val_pipeline if args.device_preprocess else None,
     )
     output_dir = os.path.dirname(os.path.abspath(args.evaluate))
     result = validate(
@@ -102,6 +109,7 @@ def main(argv=None):
         print_freq=args.print_freq,
         output_dir=output_dir,
         make_images=not args.no_images,
+        viz_transform=dataset.val_pipeline if args.device_preprocess else None,
         write_to_file=args.csv is not None,
         csv_path=args.csv,
     )

@@ -53,10 +53,19 @@ class NYUDataset:
         loader=h5_loader,
         seed: int = 0,
         device_normalize: bool = False,
+        raw_items: bool = False,
     ):
         # device_normalize: emit uint8 RGB and let the device do the /255
         # (exactly the same math in f32) — quarters host->device transfer
         # and skips a host-side float conversion pass.
+        # raw_items: emit the RAW (480, 640) uint8 rgb / f32 depth with NO
+        # host geometry at all — the whole val resize/crop chain is a
+        # fixed gather, so it runs on device inside the eval jit
+        # (Evaluator(val_pipeline=...)); host work drops to the h5 read.
+        if raw_items and split == "train":
+            raise ValueError(
+                "raw_items targets eval; the train pipeline's rotation is "
+                "host-side by design (applied at the 250x333 intermediate)")
         if split not in ("train", "holdout", "val"):
             raise RuntimeError(
                 f"Invalid dataset split: {split}\n"
@@ -75,6 +84,7 @@ class NYUDataset:
         self.color_jitter = T.ColorJitter(0.4, 0.4, 0.4)
         self._rng = np.random.RandomState(seed)
         self.device_normalize = device_normalize
+        self.raw_items = raw_items
 
     @staticmethod
     def _is_image_file(filename: str, split: str) -> bool:
@@ -109,6 +119,8 @@ class NYUDataset:
 
     def __getitem__(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
         rgb, depth = self.get_raw(index)
+        if self.raw_items:
+            return rgb, depth.astype(np.float32)[..., None]
         if self.split == "train":
             sample = TrainSample.draw(self._rng)
             rgb_np, depth_np = self.train_pipeline(

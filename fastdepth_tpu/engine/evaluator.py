@@ -47,11 +47,18 @@ class Evaluator:
         mesh=None,
         fold_bn: bool = True,
         impl: str = "auto",
+        val_pipeline=None,
     ):
         """``impl``: 'auto' picks the head-commute fast path
         (models/fused.apply_fastdepth_opt — bit-exact, measured +9% on
         v5e) whenever the architecture supports it and BN is folded;
-        'xla' forces the straight forward; 'opt' forces the fast path."""
+        'xla' forces the straight forward; 'opt' forces the fast path.
+
+        ``val_pipeline``: a ``data.pipeline.ValPipeline`` — the whole val
+        resize/crop chain is one (rows, cols) gather, so with raw
+        (480, 640) batches (``NYUDataset(raw_items=True)``) it runs ON
+        DEVICE inside the jitted step, identical values to the host
+        gather; host preprocessing drops to the h5 read."""
         self.model = model
         self.batch_size = batch_size
         self.dtype = dtype
@@ -87,7 +94,15 @@ class Evaluator:
             if use_opt else model.apply
         )
 
+        gather = None
+        if val_pipeline is not None:
+            gather = (jnp.asarray(val_pipeline.rows), jnp.asarray(val_pipeline.cols))
+
         def step(params, rgb, depth):
+            if gather is not None:
+                rows, cols = gather
+                rgb = rgb[:, rows][:, :, cols]
+                depth = depth[:, rows][:, :, cols]
             if rgb.dtype == jnp.uint8:
                 # device-side /255 (identical math to the host path;
                 # uint8 transfer is 4x smaller)
@@ -136,10 +151,13 @@ def validate(
     write_to_file: bool = False,
     csv_path: Optional[str] = None,
     make_images: bool = True,
+    viz_transform=None,
     log=print,
 ) -> M.Result:
     """Full-dataset evaluation with reference-format reporting
-    (main.py:63-126)."""
+    (main.py:63-126).  ``viz_transform``: applied to the raw rgb/depth of
+    the few comparison-strip images when the loader yields RAW frames
+    (device-preprocess mode) — pass the host ValPipeline gather."""
     meter = M.AverageMeter()
     img_merge = None
     seen = 0
@@ -183,9 +201,10 @@ def validate(
             for i in range(count):
                 gi = seen + i
                 if gi % 50 == 0 and gi < 8 * 50:
-                    row = viz.merge_into_row(
-                        np.asarray(rgb[i]), np.asarray(depth[i]), np.asarray(pred[i])
-                    )
+                    r_i, d_i = np.asarray(rgb[i]), np.asarray(depth[i])
+                    if viz_transform is not None:
+                        r_i, d_i = viz_transform(r_i), viz_transform(d_i)
+                    row = viz.merge_into_row(r_i, d_i, np.asarray(pred[i]))
                     img_merge = row if img_merge is None else viz.add_row(img_merge, row)
                 elif gi == 8 * 50 and img_merge is not None:
                     viz.save_image(img_merge, os.path.join(output_dir, f"comparison_{epoch}.png"))

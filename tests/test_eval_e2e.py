@@ -174,3 +174,36 @@ def test_device_normalize_matches_host_normalize(nyu_val_root, torch_ckpt):
     b = validate(l_dev, ev, print_freq=0, make_images=False, log=lambda *x: None)
     np.testing.assert_allclose(a.rmse, b.rmse, rtol=1e-6)
     np.testing.assert_allclose(a.delta1, b.delta1, rtol=1e-6)
+
+
+def test_device_preprocess_matches_host_pipeline(nyu_val_root, torch_ckpt, tmp_path):
+    """Raw 480x640 frames + the on-device gather == the host val
+    pipeline across every metric (the resize/crop chain is ONE index
+    gather, value-preserving on either side), and the comparison strip
+    still renders via viz_transform."""
+    ckpt_path, _ = torch_ckpt
+    from fastdepth_tpu.checkpoint.convert import convert_checkpoint
+    from fastdepth_tpu.checkpoint.io import numpy_to_jax
+
+    params, cfg, _ = convert_checkpoint(ckpt_path)
+    model = build(cfg)
+
+    ds_host = NYUDataset(nyu_val_root, split="val")
+    ds_raw = NYUDataset(nyu_val_root, split="val", raw_items=True)
+    ev_host = Evaluator(model, numpy_to_jax(params), batch_size=5)
+    ev_raw = Evaluator(model, numpy_to_jax(params), batch_size=5,
+                       val_pipeline=ds_raw.val_pipeline)
+    l_host = BatchLoader(ds_host, batch_size=5, num_workers=2)
+    l_raw = BatchLoader(ds_raw, batch_size=5, num_workers=2)
+    a = validate(l_host, ev_host, print_freq=0, make_images=False,
+                 log=lambda *x: None)
+    out_dir = str(tmp_path)
+    b = validate(l_raw, ev_raw, print_freq=0, output_dir=out_dir,
+                 make_images=True, viz_transform=ds_raw.val_pipeline,
+                 log=lambda *x: None)
+    for f in ("rmse", "mae", "delta1", "absrel", "lg10", "mse"):
+        np.testing.assert_allclose(getattr(a, f), getattr(b, f), rtol=1e-6,
+                                   err_msg=f)
+    # train split must refuse raw_items (rotation is host-side by design)
+    with pytest.raises(ValueError, match="rotation"):
+        NYUDataset(nyu_val_root, split="train", raw_items=True)
