@@ -53,17 +53,18 @@ def config_for(name: str):
 def main(argv=None):
     args = parse_args(argv)
 
-    import jax
-
-    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    jax.config.update("jax_compilation_cache_dir", os.path.join(repo, ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
     from fastdepth_tpu.engine.autotune import _device_kind, tune_model
+    from fastdepth_tpu.engine.benchmark import setup_compile_cache
+
+    setup_compile_cache()
 
     names = (list(MODEL_CONFIGS) if args.models == "all"
              else [m.strip() for m in args.models.split(",")])
-    dtypes = tuple(args.dtypes.split(","))
+    unknown = [n for n in names if n not in MODEL_CONFIGS]
+    if unknown:  # fail BEFORE any (minutes-long) tuning runs
+        raise SystemExit(
+            f"unknown model(s) {unknown}; valid: {sorted(MODEL_CONFIGS)}")
+    dtypes = tuple(d.strip() for d in args.dtypes.split(","))
     device = _device_kind().replace(" ", "").lower()
     written = []
     for name in names:

@@ -55,9 +55,9 @@ def main(argv=None):
 
     import jax
 
-    cache = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__)))), ".jax_cache")
-    jax.config.update("jax_compilation_cache_dir", cache)
+    from fastdepth_tpu.engine.benchmark import setup_compile_cache
+
+    setup_compile_cache()
 
     import jax.numpy as jnp
 

@@ -87,26 +87,33 @@ def main(argv=None):
     args = parse_args(argv)
 
     import jax
-
-    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    jax.config.update("jax_compilation_cache_dir", os.path.join(repo, ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
     import jax.numpy as jnp
     import numpy as np
 
-    from fastdepth_tpu.engine.benchmark import time_pipelined
+    from fastdepth_tpu.engine.benchmark import setup_compile_cache, time_pipelined
+
+    setup_compile_cache()
 
     batches = [int(b) for b in args.batches.split(",")]
-    dtypes = args.dtypes.split(",")
+    dtypes = [d.strip() for d in args.dtypes.split(",")]
+    for d in dtypes:
+        if not hasattr(jnp, d):
+            raise SystemExit(f"unknown dtype {d!r} (e.g. bfloat16, float32)")
     wanted = (None if args.models == "all"
               else {m.strip() for m in args.models.split(",")})
+    if wanted is not None:
+        known = {name for name, *_ in SWEEP_MODELS}
+        unknown = wanted - known
+        if unknown:
+            raise SystemExit(
+                f"unknown model(s) {sorted(unknown)}; valid: {sorted(known)}")
 
     rng = np.random.RandomState(0)
     t_start = time.time()
     rows = []
+    over_budget = False
     for name, key, rmse, d1 in SWEEP_MODELS:
-        if wanted is not None and name not in wanted:
+        if over_budget or (wanted is not None and name not in wanted):
             continue
         model = _build(key)
         params32 = model.fold(model.init(jax.random.PRNGKey(0)))
@@ -119,14 +126,21 @@ def main(argv=None):
             impls.append(("opt", jax.jit(
                 lambda p, a, m=model: apply_fastdepth_opt(p, a, m.config))))
         for dtype_name in dtypes:
+            if over_budget:
+                break
             dtype = getattr(jnp, dtype_name)
             params = jax.tree.map(lambda a: a.astype(dtype), params32)
             for b in batches:
+                if over_budget:
+                    break
                 for impl_name, fwd in impls:
                     if time.time() - t_start > args.budget_s and rows:
-                        print(f"! budget hit, skipping {name}/{dtype_name}/b{b}",
-                              flush=True)
-                        continue
+                        if not over_budget:
+                            print("! budget hit, skipping the rest of the "
+                                  "sweep", flush=True)
+                        over_budget = True
+                    if over_budget:
+                        break
                     x = jnp.asarray(rng.rand(b, 224, 224, 3), dtype)
                     t0 = time.time()
                     try:

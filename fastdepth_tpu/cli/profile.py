@@ -19,9 +19,16 @@ real device time per layer on the actual chip, two ways:
 Timing is pipelined with scalar-fetch sync (engine/benchmark.py —
 block_until_ready lies on some transports).
 
-Each layer also gets a roofline estimate: MACs, HBM bytes (activations +
-weights, assuming perfect fusion), and the max(MXU, VPU, HBM) time bound,
-so "measured vs bound" says which layers leave the chip idle.
+Each layer also gets a roofline bound (engine/roofline.py — the same
+formulas behind docs/roofline.md: conv-boundary materialization,
+lane-padded VPU MACs, max(MXU, VPU, HBM)), so "measured vs bound" says
+which layers leave the chip idle.
+
+The profiled graph is the STRAIGHT forward (model.apply).  The shipped
+serving path (apply_fastdepth_opt) differs only in the head: it runs the
+1x1 + ReLU before the final upsample, removing the dec.head@224^2 row's
+traffic (docs/kernel_notes.md round 2) — read the dec.head/dec.stage5
+rows with that in mind.
 
 Usage:
     python -m fastdepth_tpu.cli.profile [--batch 128] [--bf16] [--json OUT]
@@ -34,11 +41,7 @@ import json
 
 import numpy as np
 
-# v5e single-chip peaks (public spec): 197 bf16 TFLOP/s MXU, 819 GB/s HBM.
-# VPU peak is ~8 lanes x 128 sublanes x 2 (FMA) x 4 units x ~1.5 GHz.
-MXU_FLOPS = 197e12
-VPU_FLOPS = 12e12
-HBM_BPS = 819e9
+from fastdepth_tpu.engine import roofline as RL
 
 
 def parse_args(argv=None):
@@ -171,65 +174,25 @@ def make_marginal_fn(model, cfg, dup):
 
 
 def layer_roofline(cfg, batch: int, hw: int, dtype_bytes: int):
-    """Per-attribution-point (macs, hbm_bytes, bound_s) estimates."""
-    from fastdepth_tpu.config import MOBILENET_STRIDES as strides
-
-    enc = cfg.encoder_channels
-    dec = cfg.decoder_channels
-    rows = []
-    h = hw // 2  # after stem
-    # stem: 3x3x3 dense conv, stride 2
-    macs = h * h * enc[0] * 3 * 3 * 3
-    byts = (hw * hw * 3 + h * h * enc[0]) * dtype_bytes
-    rows.append(("enc.conv0", macs, byts, macs * 2 / MXU_FLOPS))
-    cin = enc[0]
-    for i in range(1, 14):
-        s = strides[i - 1]
-        h_out = h // s
-        dw_macs = h_out * h_out * cin * 9
-        pw_macs = h_out * h_out * cin * enc[i]
-        macs = dw_macs + pw_macs
-        byts = (h * h * cin + h_out * h_out * cin + h_out * h_out * enc[i]) * dtype_bytes \
-            + (cin * 9 + cin * enc[i]) * dtype_bytes
-        t = max(dw_macs / VPU_FLOPS, pw_macs * 2 / MXU_FLOPS)
-        rows.append((f"enc.conv{i}", macs, byts, t))
-        cin = enc[i]
-        h = h_out
-    for i, cout in enumerate(dec, start=1):
-        dw_macs = h * h * cin * 25
-        pw_macs = h * h * cin * cout
-        macs = dw_macs + pw_macs
-        h2 = h * 2
-        byts = (h * h * cin * 2 + h2 * h2 * cout * 2) * dtype_bytes \
-            + (cin * 25 + cin * cout) * dtype_bytes
-        t = max(dw_macs / VPU_FLOPS, pw_macs * 2 / MXU_FLOPS)
-        rows.append((f"dec.stage{i}", macs, byts, t))
-        cin = cout
-        h = h2
-    macs = h * h * cin * 1
-    byts = (h * h * cin + h * h) * dtype_bytes
-    rows.append(("dec.head", macs, byts, macs * 2 / MXU_FLOPS))
+    """Per-attribution-point (name, macs, hbm_bytes, bound_s) — formulas
+    shared with docs/roofline.md via engine/roofline.py (conv-boundary
+    materialization, lane-padded VPU MACs)."""
     return [
-        (name, batch * m, batch * b,
-         max(t * batch, batch * b / HBM_BPS))
-        for name, m, b, t in rows
+        (key, batch * macs, batch * hbm_e * dtype_bytes,
+         RL.bound_seconds(hbm_e, mxu, vpu, dtype_bytes, batch))
+        for key, macs, hbm_e, mxu, vpu in RL.layer_bounds(cfg, hw)
     ]
 
 
 def main(argv=None):
     args = parse_args(argv)
 
-    import os
-
     import jax
-
-    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    jax.config.update("jax_compilation_cache_dir", os.path.join(repo, ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
     import jax.numpy as jnp
 
-    from fastdepth_tpu.engine.benchmark import time_pipelined
+    from fastdepth_tpu.engine.benchmark import setup_compile_cache, time_pipelined
+
+    setup_compile_cache()
     from fastdepth_tpu.models import fastdepth_pruned, fastdepth_unpruned
 
     model = fastdepth_pruned() if args.model == "pruned" else fastdepth_unpruned()
@@ -308,8 +271,8 @@ def main(argv=None):
                 "model": args.model, "mode": args.mode,
                 "full_us": t_full * 1e6, "fps": args.batch / t_full,
                 "layers": table,
-                "peaks": {"mxu_flops": MXU_FLOPS, "vpu_flops": VPU_FLOPS,
-                          "hbm_bps": HBM_BPS},
+                "peaks": {"mxu_macs": RL.MXU_MACS, "vpu_macs": RL.VPU_MACS,
+                          "hbm_bps": RL.HBM_BPS},
             }, f, indent=1)
         print(f"json -> {args.json}")
     return table

@@ -116,11 +116,17 @@ def throughput_sweep(
     warmup: int = 3,
     calls: int = 30,
 ) -> Dict[str, Dict[str, float]]:
-    """Amortized fps per batch size for a model's folded forward pass."""
+    """Amortized fps per batch size for a model's folded forward pass.
+    ``params`` must already be folded (the sweep would otherwise time the
+    unfused-BN graph while claiming the folded one)."""
     import jax.numpy as jnp
 
     from fastdepth_tpu.engine.aot import compile_forward
+    from fastdepth_tpu.models.fused import tree_has_bn
 
+    if tree_has_bn(params):
+        raise ValueError("throughput_sweep needs pre-folded params "
+                         "(Model.fold) — it documents the folded forward")
     dtype = dtype or jnp.float32
     rng = np.random.RandomState(0)
     out: Dict[str, Dict[str, float]] = {}
@@ -135,3 +141,21 @@ def throughput_sweep(
         stats["fps"] = b / stats["mean_s"]
         out[str(b)] = stats
     return out
+
+
+def setup_compile_cache(min_compile_secs: float = 1.0) -> str:
+    """Point JAX's persistent compilation cache at <repo>/.jax_cache —
+    first compiles through this platform's remote helper cost minutes,
+    so every benchmarking CLI wants this on.  One shared helper: the
+    same three lines were drifting across the CLIs."""
+    import os
+
+    import jax
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    cache = os.path.join(repo, ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      min_compile_secs)
+    return cache

@@ -15,16 +15,15 @@ Measured numbers come from scripts/profile_marginal.py's output
 import json
 import os
 
-HBM = 819e9            # bytes/s, v5e
-MXU = 197e12 / 2       # MAC/s bf16
-VPU = 12e12 / 2        # MAC/s (VPU FLOPs ~1/16 of MXU peak)
-B = 2                  # bytes/elem bf16
-LANES = 128
-
-from fastdepth_tpu.config import (  # noqa: E402
-    FASTDEPTH_PRUNED,
-    MOBILENET_STRIDES,
+from fastdepth_tpu.config import FASTDEPTH_PRUNED, MOBILENET_STRIDES  # noqa: E402
+from fastdepth_tpu.engine.roofline import (  # noqa: E402  — the shared formulas
+    HBM_BPS as HBM,
+    MXU_MACS as MXU,
+    VPU_MACS as VPU,
+    layer_bounds,
 )
+
+B = 2                  # bytes/elem bf16
 
 repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 prof = json.load(open(os.path.join(
@@ -33,44 +32,29 @@ measured = {l["layer"]: l["marginal_us_per_frame"] for l in prof["layers"]}
 
 cfg = FASTDEPTH_PRUNED
 
-
-def pad(c):
-    return -(-c // LANES) * LANES
-
-
-rows = []
+# descriptive labels + the profile JSON's measured keys, joined to the
+# shared per-layer bound rows (engine/roofline.py)
 enc = cfg.encoder_channels
-# stem: dense 3x3 s2, 3->16
-rows.append(("enc0 stem 3x3s2 3->16 @224",
-             (224 * 224 * 3 + 112 * 112 * enc[0]) * B,
-             112 * 112 * enc[0] * 9 * 3, 0, measured.get("enc0")))
+dec = cfg.decoder_channels
+labels = [("enc0 stem 3x3s2 3->16 @224", "enc0")]
 h, cin = 112, enc[0]
 for i in range(1, 14):
     s = MOBILENET_STRIDES[i - 1]
     ho = h // s
-    cout = enc[i]
-    hbm = (h * h * cin + ho * ho * cin * 2 + ho * ho * cout) * B
-    mxu = ho * ho * cin * cout
-    vpu = 9 * ho * ho * pad(cin)
-    rows.append((f"enc{i} dw{cin}s{s}+pw->{cout} @{ho}", hbm, mxu, vpu,
-                 measured.get(f"enc{i}")))
-    h, cin = ho, cout
-
-dec = cfg.decoder_channels
-skips = {2, 3, 4}
+    labels.append((f"enc{i} dw{cin}s{s}+pw->{enc[i]} @{ho}", f"enc{i}"))
+    h, cin = ho, enc[i]
 for i, cout in enumerate(dec, start=1):
-    # dw in r/w, pw r/w, upsample+add out write, skip read
-    hbm = (h * h * cin * 3 + h * h * cout +
-           (2 * h) ** 2 * cout * (2 if i in skips else 1)) * B
-    mxu = h * h * cin * cout
-    vpu = 25 * h * h * pad(cin)
-    rows.append((f"dec{i} dw5x5 {cin}->pw{cout} @{h}{'+skip' if i in skips else ''}",
-                 hbm, mxu, vpu, measured.get(f"dec{i}")))
+    labels.append((f"dec{i} dw5x5 {cin}->pw{cout} @{h}"
+                   f"{'+skip' if i in (2, 3, 4) else ''}", f"dec{i}"))
     h, cin = 2 * h, cout
-# head 1x1 16->1 at 224 (ref forward; the shipped opt path runs it at 112)
-rows.append(("dec6 head 1x1 16->1 @224",
-             (224 * 224 * 16 + 224 * 224) * B, 224 * 224 * 16, 0,
-             measured.get("dec6")))
+# head at 224 (ref forward; the shipped opt path runs it at 112)
+labels.append(("dec6 head 1x1 16->1 @224", "dec6"))
+
+rows = [
+    (label, hbm_e * B, mxu, vpu, measured.get(key))
+    for (label, key), (_, _macs, hbm_e, mxu, vpu)
+    in zip(labels, layer_bounds(cfg, 224))
+]
 
 lines = [
     "# Per-layer roofline — pruned FastDepth, bf16 b128, one v5e chip",

@@ -86,3 +86,19 @@ def test_committed_records_load_and_cover_every_stage():
         # stem + 13 x (dw, pw) ops x 2 dtypes
         assert len(enc) == 27 * 2, f
         assert all(r["xla_ms"] is not None for r in enc), f
+
+
+def test_cli_unknown_model_fails_fast(tmp_path):
+    """Typos in --models must fail BEFORE any minutes-long tuning/sweep
+    work, naming the valid choices."""
+    import pytest
+
+    from fastdepth_tpu.cli.autotune import main as autotune_main
+    from fastdepth_tpu.cli.frontier import main as frontier_main
+
+    with pytest.raises(SystemExit) as e:
+        autotune_main(["--models", "nope", "--out", str(tmp_path)])
+    assert "unknown model" in str(e.value)
+    with pytest.raises(SystemExit) as e:
+        frontier_main(["--models", "nope", "--out", str(tmp_path / "f")])
+    assert "unknown model" in str(e.value)

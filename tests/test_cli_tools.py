@@ -259,3 +259,24 @@ def test_profile_marginal_fn_exact_at_eps0():
     for k in (1, 2, 15, 20, len(prefix_points(cfg))):
         got = np.asarray(jax.jit(make_marginal_fn(model, cfg, k))(params, x, eps0))
         assert np.array_equal(base, got), k
+
+
+def test_roofline_module_matches_committed_doc():
+    """engine/roofline.py is the single source behind docs/roofline.md —
+    regenerating the bound columns must reproduce the committed table's
+    per-layer bounds (guards formula drift between the doc and the
+    profile CLI, which both import it)."""
+    import re
+
+    from fastdepth_tpu.config import FASTDEPTH_PRUNED
+    from fastdepth_tpu.engine.roofline import bound_components_us, layer_bounds
+
+    doc = open(os.path.join(os.path.dirname(__file__), "..", "docs",
+                            "roofline.md")).read()
+    doc_bounds = [float(m) for m in re.findall(
+        r"^\|[^|]+\|[^|]+\|[^|]+\|[^|]+\| ([0-9.]+) \|", doc, re.M)]
+    rows = layer_bounds(FASTDEPTH_PRUNED, 224)
+    assert len(doc_bounds) == len(rows) == 20
+    for want, (_key, _macs, hbm_e, mxu, vpu) in zip(doc_bounds, rows):
+        h, m, v = bound_components_us(hbm_e, mxu, vpu, dtype_bytes=2)
+        assert abs(max(h, m, v) - want) < 5e-3, (_key, want, max(h, m, v))
