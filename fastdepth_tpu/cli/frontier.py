@@ -118,7 +118,9 @@ def main(argv=None):
         model = _build(key)
         params32 = model.fold(model.init(jax.random.PRNGKey(0)))
         impls = [("xla", jax.jit(lambda p, a: model.apply(p, a)))]
-        if model.config.decoder.startswith("nnconv"):
+        from fastdepth_tpu.models.fused import supports_opt
+
+        if supports_opt(model.config):
             from fastdepth_tpu.models.fused import apply_fastdepth_opt
 
             # exact head-commute rewrite (models/fused.py); the deployed

@@ -88,6 +88,14 @@ class ModelConfig:
     def validate(self) -> "ModelConfig":
         if self.skip not in (None, "add", "concat"):
             raise ValueError(f"invalid skip mode: {self.skip!r}")
+        if self.skip is not None and not self.decoder.startswith("nnconv"):
+            # The reference's skip models hard-code the NNConv decoder
+            # (models.py:683-697) — accepting other decoder names here
+            # would silently run nnconv semantics under a wrong label.
+            raise ValueError(
+                "skip models implement the NNConv decoder family only "
+                f"(reference models.py:683-697); got decoder={self.decoder!r}"
+            )
         if self.encoder == "mobilenet":
             if len(self.encoder_channels) != 14:
                 raise ValueError(

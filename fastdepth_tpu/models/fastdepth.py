@@ -76,17 +76,14 @@ def apply_fastdepth(
 ) -> Array:
     """NHWC forward: (N, 224, 224, 3) -> (N, 224, 224, 1)."""
     taps = _SKIP_TAPS if cfg.skip else ()
-
-    def epath(*names):
-        return ("encoder",) + names
-
     feats, tapped = MN.apply_encoder(
         params["encoder"], x, relu6=cfg.encoder_relu6, taps=taps,
         train=train, stats=_sub_stats(stats, "encoder"),
     )
     y = feats
     dec = params["decoder"]
-    k = cfg.decoder_kernel
+    # kernel size comes from the param shapes (decoder_kernel only
+    # drives init); the skip family is nnconv-only (config.validate)
     for i in range(1, 6):
         p = dec[f"decode_conv{i}"]
         path = ("decoder", f"decode_conv{i}")

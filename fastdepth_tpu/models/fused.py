@@ -24,6 +24,19 @@ Array = jax.Array
 
 _SKIP_TAPS = (1, 3, 5)
 
+def _fused_preamble(params, x, cfg):
+    """Shared guard + encoder pass for the fused nnconv5dw-skip-add
+    forwards: returns (decoder_params, features, {stage: skip_tensor})."""
+    if cfg.skip != "add" or not cfg.decoder_depthwise or cfg.decoder_kernel != 5:
+        raise ValueError(
+            "fused path supports the nnconv5dw skip-add family; got "
+            f"decoder={cfg.decoder!r} skip={cfg.skip!r}"
+        )
+    feats, tapped = MN.apply_encoder(
+        params["encoder"], x, relu6=cfg.encoder_relu6, taps=_SKIP_TAPS,
+    )
+    return params["decoder"], feats, {2: tapped[5], 3: tapped[3], 4: tapped[1]}
+
 
 def apply_fastdepth_fused(
     params: Dict,
@@ -35,17 +48,7 @@ def apply_fastdepth_fused(
     """Fused-decoder forward for skip='add' (the flagship).  Params must
     be folded ({'w','b'} leaves).  Matches apply_fastdepth numerics
     (tested per-pixel in tests/test_pallas.py)."""
-    if cfg.skip != "add" or not cfg.decoder_depthwise or cfg.decoder_kernel != 5:
-        raise ValueError(
-            "fused path supports the nnconv5dw skip-add family; got "
-            f"decoder={cfg.decoder!r} skip={cfg.skip!r}"
-        )
-    feats, tapped = MN.apply_encoder(
-        params["encoder"], x, relu6=cfg.encoder_relu6, taps=_SKIP_TAPS,
-    )
-    dec = params["decoder"]
-    y = feats
-    skips = {2: tapped[5], 3: tapped[3], 4: tapped[1]}
+    dec, y, skips = _fused_preamble(params, x, cfg)
     for i in range(1, 6):
         p = dec[f"decode_conv{i}"]
         y = fused_decoder_stage(
@@ -84,14 +87,7 @@ def apply_fastdepth_fused_v2(
     from fastdepth_tpu.ops import blocks as B
     from fastdepth_tpu.ops.pallas.fused_decoder import fused_decoder_stage_hwbc
 
-    if cfg.skip != "add" or not cfg.decoder_depthwise or cfg.decoder_kernel != 5:
-        raise ValueError("fused path supports the nnconv5dw skip-add family")
-    feats, tapped = MN.apply_encoder(
-        params["encoder"], x, relu6=cfg.encoder_relu6, taps=_SKIP_TAPS,
-    )
-    dec = params["decoder"]
-    y = feats
-    skips = {2: tapped[5], 3: tapped[3], 4: tapped[1]}
+    dec, y, skips = _fused_preamble(params, x, cfg)
     block_batches = {1: 8, 2: 8, 3: 4, 4: 2, 5: 1}
     for i in range(1, 6):
         p = dec[f"decode_conv{i}"]
@@ -123,14 +119,7 @@ def apply_fastdepth_fused_v3(
     from fastdepth_tpu.ops import blocks as B
     from fastdepth_tpu.ops.pallas.fused_decoder import fused_decoder_stage_v3
 
-    if cfg.skip != "add" or not cfg.decoder_depthwise or cfg.decoder_kernel != 5:
-        raise ValueError("fused path supports the nnconv5dw skip-add family")
-    feats, tapped = MN.apply_encoder(
-        params["encoder"], x, relu6=cfg.encoder_relu6, taps=_SKIP_TAPS,
-    )
-    dec = params["decoder"]
-    y = feats
-    skips = {2: tapped[5], 3: tapped[3], 4: tapped[1]}
+    dec, y, skips = _fused_preamble(params, x, cfg)
     # images per inner-pipeline step: larger B widens the pw matmul for
     # the small-spatial stages; VMEM (~16 MB) caps the big ones
     bbs = block_batches or {1: 8, 2: 4, 3: 2, 4: 1, 5: 1}
@@ -169,8 +158,10 @@ def apply_fastdepth_opt(
     """
     from fastdepth_tpu.ops import blocks as B
 
-    if cfg.decoder not in _NNCONV_NAMES:
-        raise ValueError(f"opt path supports nnconv decoders; got {cfg.decoder!r}")
+    if not supports_opt(cfg):
+        raise ValueError(
+            "opt path supports MobileNet encoders with nnconv decoders; "
+            f"got encoder={cfg.encoder!r} decoder={cfg.decoder!r}")
     taps = _SKIP_TAPS if cfg.skip else ()
     feats, tapped = MN.apply_encoder(
         params["encoder"], x, relu6=cfg.encoder_relu6, taps=taps,
@@ -235,14 +226,7 @@ def apply_fastdepth_mixed(
     reference's AutoTVM-tuned per-layer kernels (SURVEY.md C12)."""
     from fastdepth_tpu.ops import blocks as B
 
-    if cfg.skip != "add" or not cfg.decoder_depthwise or cfg.decoder_kernel != 5:
-        raise ValueError("mixed path supports the nnconv5dw skip-add family")
-    feats, tapped = MN.apply_encoder(
-        params["encoder"], x, relu6=cfg.encoder_relu6, taps=_SKIP_TAPS,
-    )
-    dec = params["decoder"]
-    y = feats
-    skips = {2: tapped[5], 3: tapped[3], 4: tapped[1]}
+    dec, y, skips = _fused_preamble(params, x, cfg)
     for i in range(1, 6):
         p = dec[f"decode_conv{i}"]
         skip = skips.get(i)
@@ -281,21 +265,15 @@ def apply_fastdepth_fused_hybrid(
 
     from fastdepth_tpu.ops import blocks as B
 
-    if cfg.skip != "add" or not cfg.decoder_depthwise or cfg.decoder_kernel != 5:
-        raise ValueError("fused path supports the nnconv5dw skip-add family")
     n = x.shape[0]
-    feats, tapped = MN.apply_encoder(
-        params["encoder"], x, relu6=cfg.encoder_relu6, taps=_SKIP_TAPS,
-    )
-    dec = params["decoder"]
+    dec, y, all_skips = _fused_preamble(params, x, cfg)
 
-    y = feats
     # per-stage images-per-grid-step, sized to VMEM (f32 halo scratch +
     # double-buffered in/out/skip blocks)
     block_batches = {1: 8, 2: 4, 3: 2}
     for i in (1, 2, 3):
         p = dec[f"decode_conv{i}"]
-        skip = {2: tapped[5], 3: tapped[3]}.get(i)
+        skip = all_skips.get(i) if i in (2, 3) else None
         y = fused_decoder_stage(
             y, p["dw"]["w"], p["dw"]["b"], p["pw"]["w"], p["pw"]["b"],
             skip=skip, block_batch=block_batches[i], interpret=interpret,
@@ -316,7 +294,7 @@ def apply_fastdepth_fused_hybrid(
         head = dec["decode_conv6"]["pw"]
         return B.relu(B.conv2d(yc, head["w"], bias=head["b"]))
 
-    x1 = tapped[1]
+    x1 = all_skips[4]  # the encoder conv1 tap, added after stage 4
     if n <= tail_chunk:
         return tail((y, x1))
     if n % tail_chunk != 0:

@@ -36,8 +36,15 @@ class Model:
     apply: Callable[..., Array]
 
     def fold(self, params: Dict) -> Dict:
-        """Fold all BatchNorms for the inference fast path."""
-        return L.tree_fold(params, transpose_keys=())
+        """Fold all BatchNorms for the inference fast path.
+
+        Dense deconv decoders hold HWOI transpose-conv weights under
+        their stages' ``conv`` key — BN scale applies on axis 2 there
+        (grouped deconv-dw weights are (k, k, 1, C): the trailing axis
+        is the BN axis, like ordinary depthwise)."""
+        tk = (("conv",) if (self.config.decoder.startswith("deconv")
+                            and not self.config.decoder_depthwise) else ())
+        return L.tree_fold(params, transpose_keys=tk)
 
 
 def build(cfg: ModelConfig) -> Model:

@@ -36,32 +36,12 @@ _PAD = 2  # (5 - 1) // 2
 
 def _stage_kernel(x_ref, dww_ref, dwb_ref, pww_ref, pwb_ref, skip_ref,
                   out_ref, pad_ref, *, B, H, W, C, Cout, has_skip):
-    # halo-padded activations in VMEM (B images per grid step)
-    pad_ref[:] = jnp.zeros_like(pad_ref)
-    pad_ref[:, _PAD:H + _PAD, _PAD:W + _PAD, :] = x_ref[:].astype(jnp.float32)
-
-    # dw5x5 as 25 shifted VPU multiply-adds (batched over B).  W is the
-    # sublane dim, so a W-shifted read forces a Mosaic relayout copy —
-    # hoist it: materialize each of the 5 W-shifts ONCE, then the 5
-    # H-shifts per W-shift are untiled leading-dim reads (free).
-    acc = jnp.zeros((B, H, W, C), jnp.float32)
-    for dw in range(5):
-        shifted = pad_ref[:, :, dw:dw + W, :]  # (B, H+4, W, C), one relayout
-        for dh in range(5):
-            acc += shifted[:, dh:dh + H] * dww_ref[dh, dw, :].astype(jnp.float32)
-    acc = jnp.maximum(acc + dwb_ref[:].astype(jnp.float32), 0.0)
-
-    # pw1x1 on the MXU: (B*H*W, C) @ (C, Cout) — batching B widens the
-    # matmul's row dimension
-    y = jnp.dot(
-        acc.reshape(B * H * W, C), pww_ref[:].astype(jnp.float32),
-        preferred_element_type=jnp.float32,
+    # the stage math (dw5x5 -> pw1x1 -> upsample, W-shift hoisting) is
+    # shared with the v3 manual-DMA kernel via _compute_stage
+    up = _compute_stage(
+        x_ref[:].astype(jnp.float32), pad_ref,
+        dww_ref[:], dwb_ref[:], pww_ref[:], pwb_ref[:], H, W, C, Cout,
     )
-    y = jnp.maximum(y + pwb_ref[:].astype(jnp.float32), 0.0).reshape(B, H, W, Cout)
-
-    # nearest x2 upsample in-register (broadcast + reshape)
-    up = jnp.broadcast_to(y[:, :, None, :, None, :], (B, H, 2, W, 2, Cout))
-    up = up.reshape(B, 2 * H, 2 * W, Cout)
     if has_skip:
         up = up + skip_ref[:].astype(jnp.float32)
     out_ref[:] = up.astype(out_ref.dtype)
@@ -128,7 +108,9 @@ def fused_decoder_stage(
         scratch_shapes=[pltpu.VMEM((B, H + 2 * _PAD, W + 2 * _PAD, C), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=x.size * x.dtype.itemsize * 2,
+            # input + upsampled output (+ same-sized skip read)
+            bytes_accessed=x.dtype.itemsize * (
+                x.size + N * 4 * H * W * Cout * (2 if has_skip else 1)),
             transcendentals=0,
         ),
         interpret=interpret,
@@ -229,7 +211,9 @@ def fused_decoder_stage_hwbc(
         scratch_shapes=[pltpu.VMEM((H + 2 * _PAD, W + 2 * _PAD, B, C), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=N * (H * W * C * 25 * 2 + H * W * C * Cout * 2),
-            bytes_accessed=x.size * x.dtype.itemsize * 2,
+            # input + upsampled output (+ same-sized skip read)
+            bytes_accessed=x.dtype.itemsize * (
+                x.size + N * 4 * H * W * Cout * (2 if has_skip else 1)),
             transcendentals=0,
         ),
         interpret=interpret,
@@ -383,7 +367,9 @@ def fused_decoder_stage_v3(
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=x.size * x.dtype.itemsize * 2,
+            # input + upsampled output (+ same-sized skip read)
+            bytes_accessed=x.dtype.itemsize * (
+                x.size + N * 4 * H * W * Cout * (2 if has_skip else 1)),
             transcendentals=0,
         ),
         interpret=interpret,

@@ -434,3 +434,43 @@ def test_opt_forward_rejects_bilinear():
     x = jnp.zeros((1, 64, 64, 3), jnp.float32)
     with pytest.raises(ValueError, match="nnconv"):
         apply_fastdepth_opt(params, x, cfg)
+
+
+@pytest.mark.parametrize("decoder", ["deconv5", "deconv3", "deconv5dw", "upconv"])
+def test_deconv_fold_matches_unfolded(decoder, rng):
+    """BN folding must handle HWOI transpose-conv weights (scale on axis
+    2): folded forward == unfolded forward for the whole deconv family
+    (dense deconv used to crash in tree_fold with a broadcast error)."""
+    cfg = ModelConfig(decoder=decoder, skip=None,
+                      encoder_channels=TINY_ENC, decoder_channels=TINY_DEC)
+    m = build(cfg)
+    p = m.init(jax.random.PRNGKey(3))
+    x = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    a = m.apply(p, x)
+    b = m.apply(m.fold(p), x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_skip_with_non_nnconv_decoder_rejected():
+    """The reference's skip models hard-code the NNConv decoder
+    (models.py:683-697); other decoder names must be rejected, not
+    silently run under nnconv semantics."""
+    with pytest.raises(ValueError, match="NNConv"):
+        ModelConfig(decoder="blconv5dw", skip="add",
+                    encoder_channels=TINY_ENC,
+                    decoder_channels=TINY_DEC_ADD).validate()
+    from fastdepth_tpu.models import from_name
+
+    with pytest.raises(ValueError, match="NNConv"):
+        from_name("mobilenet-deconv5-skipconcat")
+
+
+def test_opt_path_rejects_non_mobilenet_encoder():
+    """apply_fastdepth_opt must fail with a clear error for unsupported
+    encoders instead of a KeyError deep in the encoder walk."""
+    from fastdepth_tpu.models.fused import apply_fastdepth_opt
+
+    cfg = ModelConfig(encoder="resnet18", decoder="nnconv5dw", skip=None,
+                      encoder_channels=TINY_ENC, decoder_channels=TINY_DEC)
+    with pytest.raises(ValueError, match="MobileNet"):
+        apply_fastdepth_opt({}, jnp.zeros((1, 64, 64, 3)), cfg)
