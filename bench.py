@@ -33,7 +33,7 @@ def main():
     from fastdepth_tpu.engine.benchmark import time_fn, time_pipelined
     from fastdepth_tpu.models import fastdepth_pruned
     from fastdepth_tpu.models.fused import (
-        apply_fastdepth_fused_chunked,
+        apply_fastdepth_fused_hybrid,
         apply_fastdepth_opt,
     )
 
@@ -86,7 +86,9 @@ def main():
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "420"))
     t_start = __import__("time").time()
     fwd = jax.jit(lambda p, x: model.apply(p, x))
-    fused = jax.jit(lambda p, x: apply_fastdepth_fused_chunked(p, x, model.config))
+    # hybrid: full-batch encoder + stages 1-3, lax.map'd chunk-8 tail
+    # (the grid-limited stages); measured faster than all-chunked
+    fused = jax.jit(lambda p, x: apply_fastdepth_fused_hybrid(p, x, model.config))
     # head-commute rewrite: exact, measured fastest (docs/kernel_notes.md r2)
     opt = jax.jit(lambda p, x: apply_fastdepth_opt(p, x, model.config))
     impls = {"xla": fwd, "pallas": fused, "opt": opt}
