@@ -374,7 +374,12 @@ def convert_registry_decoder(
 
 
 def _infer_decoder_channels(decoder: Dict) -> tuple:
-    """Stage output channels from a converted registry-decoder tree."""
+    """Stage output channels from a converted registry-decoder tree.
+
+    Shuffle decoders store stages under ``conv{i}`` and derive every
+    width from ``in_channels // 4**i`` (decoders.py:93-99) — the config's
+    ``decoder_channels`` field is unused for them, so the unpruned-default
+    fallback below is the correct record there."""
     out = []
     for i in range(1, 6):
         stage = decoder.get(f"stage{i}")

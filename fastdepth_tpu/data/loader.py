@@ -52,8 +52,11 @@ class BatchLoader:
     def set_epoch(self, epoch: int) -> None:
         """Re-seed the shuffle for a given epoch: epoch k's batch order is
         then identical whether the run is fresh or resumed mid-training
-        (the torch DistributedSampler.set_epoch convention)."""
+        (the torch DistributedSampler.set_epoch convention).  Forwards to
+        the dataset so per-item augmentation streams vary by epoch too."""
         self._rng = np.random.RandomState(self.seed + epoch)
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
 
     def __len__(self) -> int:
         n = len(self.dataset)

@@ -66,10 +66,14 @@ class NYUDataset:
             raise ValueError(
                 "raw_items targets eval; the train pipeline's rotation is "
                 "host-side by design (applied at the 250x333 intermediate)")
+        if device_normalize and split == "train":
+            raise ValueError(
+                "device_normalize targets eval; train items are emitted "
+                "as normalized float (the augmentation chain needs floats)")
         if split not in ("train", "holdout", "val"):
             raise RuntimeError(
                 f"Invalid dataset split: {split}\n"
-                "Supported dataset splits are: train, val"
+                "Supported dataset splits are: train, holdout, val"
             )
         if modality not in self.modality_names:
             raise RuntimeError(f"Invalid modality: {modality}")
@@ -82,9 +86,26 @@ class NYUDataset:
         self.val_pipeline = ValPipeline.create(raw_size=RAW_SIZE, output_size=OUTPUT_SIZE)
         self.train_pipeline = TrainPipeline(raw_size=RAW_SIZE, output_size=OUTPUT_SIZE)
         self.color_jitter = T.ColorJitter(0.4, 0.4, 0.4)
-        self._rng = np.random.RandomState(seed)
+        self.seed = seed
+        self._epoch = 0
         self.device_normalize = device_normalize
         self.raw_items = raw_items
+
+    def set_epoch(self, epoch: int) -> None:
+        """Vary the per-item augmentation streams across epochs (called
+        by BatchLoader.set_epoch)."""
+        self._epoch = int(epoch)
+
+    def _item_rng(self, index: int) -> np.random.RandomState:
+        """Deterministic per-(seed, epoch, item) augmentation stream.
+
+        A single shared RandomState would be drawn from concurrently by
+        BatchLoader's worker threads, making augmentations depend on
+        thread scheduling; keying the stream on the item index instead
+        makes every draw reproducible at any worker count."""
+        return np.random.RandomState(
+            (self.seed * 9176 + self._epoch * 2654435761 + index * 97)
+            % (2 ** 32))
 
     @staticmethod
     def _is_image_file(filename: str, split: str) -> bool:
@@ -122,16 +143,17 @@ class NYUDataset:
         if self.raw_items:
             return rgb, depth.astype(np.float32)[..., None]
         if self.split == "train":
-            sample = TrainSample.draw(self._rng)
+            rng = self._item_rng(index)
+            sample = TrainSample.draw(rng)
             rgb_np, depth_np = self.train_pipeline(
-                rgb, depth, sample, color_jitter=self.color_jitter, rng=self._rng
+                rgb, depth, sample, color_jitter=self.color_jitter, rng=rng
             )
         else:
             from fastdepth_tpu.data import native
 
             pipe = self.val_pipeline
             if self.device_normalize:
-                rgb_np = np.ascontiguousarray(rgb[pipe.rows][:, pipe.cols])
+                rgb_np = np.ascontiguousarray(pipe(rgb))
             else:
                 rgb_np = native.gather_rgb_f32(rgb, pipe.rows, pipe.cols)
             depth_np = native.gather_depth_f32(depth, pipe.rows, pipe.cols)

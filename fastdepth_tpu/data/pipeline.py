@@ -117,6 +117,10 @@ class TrainPipeline:
         rng: Optional[np.random.RandomState] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Returns (rgb_f32 in [0,1] HWC, depth_f32 HW) at output_size."""
+        if color_jitter is not None and rng is None:
+            raise ValueError(
+                "color_jitter needs an explicit rng (ColorJitter draws "
+                "its factors from it)")
         depth = depth / sample.scale  # nyu.py:28
         rgb_small = rgb[self.rows1][:, self.cols1]
         depth_small = depth[self.rows1][:, self.cols1]

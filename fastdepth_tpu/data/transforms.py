@@ -193,7 +193,10 @@ def adjust_hue(img: np.ndarray, factor: float) -> np.ndarray:
     h, s, v = pil.convert("HSV").split()
     np_h = np.array(h, dtype=np.uint8)
     with np.errstate(over="ignore"):
-        np_h += np.uint8(factor * 255)
+        # wraparound add on the H channel; `% 256` reproduces the
+        # negative-factor wrap that np.uint8(negative float) performed
+        # before NumPy 2 made that an OverflowError
+        np_h += np.uint8(int(factor * 255) % 256)
     h = Image.fromarray(np_h, "L")
     return np.array(Image.merge("HSV", (h, s, v)).convert("RGB"))
 

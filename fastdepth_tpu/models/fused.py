@@ -15,10 +15,7 @@ import jax
 
 from fastdepth_tpu.config import ModelConfig
 from fastdepth_tpu.models import mobilenet as MN
-from fastdepth_tpu.ops.pallas.fused_decoder import (
-    fused_decoder_stage,
-    fused_pointwise_head,
-)
+from fastdepth_tpu.ops.pallas.fused_decoder import fused_decoder_stage
 
 Array = jax.Array
 

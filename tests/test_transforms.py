@@ -157,3 +157,17 @@ def test_to_nhwc_tensor(rng):
     d = rng.rand(4, 4)
     out = T.to_nhwc_tensor(d)
     assert out.shape == (4, 4, 1) and out.dtype == np.float32
+
+
+def test_adjust_hue_negative_factor():
+    """Negative hue factors must wrap on the uint8 H channel (NumPy 2
+    made np.uint8(negative) an OverflowError — caught in review): a
+    -1/3 shift moves red to blue, +1/3 moves red to green."""
+    img = np.zeros((4, 4, 3), np.uint8)
+    img[..., 0] = 200  # saturated red
+    g = T.adjust_hue(img, 1.0 / 3.0)
+    b = T.adjust_hue(img, -1.0 / 3.0)
+    assert g[0, 0].argmax() == 1, g[0, 0]
+    assert b[0, 0].argmax() == 2, b[0, 0]
+    # identity at factor 0
+    np.testing.assert_array_equal(T.adjust_hue(img, 0.0), img)
