@@ -71,19 +71,6 @@ void fd_gather_depth_f32(const float* src, int64_t src_h, int64_t src_w,
     }
 }
 
-// batched variant: N stacked rgb frames -> N gathered float32 frames
-void fd_gather_rgb_f32_batch(const uint8_t* src, int64_t n, int64_t src_h,
-                             int64_t src_w, const int64_t* rows,
-                             const int64_t* cols, int64_t out_h,
-                             int64_t out_w, float* dst) {
-    const int64_t in_stride = src_h * src_w * 3;
-    const int64_t out_stride = out_h * out_w * 3;
-    for (int64_t i = 0; i < n; ++i) {
-        fd_gather_rgb_f32(src + i * in_stride, src_h, src_w, rows, cols,
-                          out_h, out_w, dst + i * out_stride);
-    }
-}
-
 // CHW uint8 -> HWC uint8 (the h5 'rgb' key layout transpose,
 // reference dataloaders/dataloader.py:8-13)
 void fd_chw_to_hwc_u8(const uint8_t* src, int64_t h, int64_t w, uint8_t* dst) {

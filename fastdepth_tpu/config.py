@@ -102,6 +102,17 @@ class ModelConfig:
                     "mobilenet encoder needs stem + 13 block channels, got "
                     f"{len(self.encoder_channels)}"
                 )
+        if self.skip is not None and self.encoder in (
+            "resnet50", "resnet101", "resnet152"
+        ):
+            # Bottleneck tap widths (256/512/1024/2048) don't match the
+            # skip decoder's channel plan; the reference's ResNetSkipAdd/
+            # Concat have the same latent constraint (they were only ever
+            # built on BasicBlock depths). Fail here instead of with a
+            # broadcast error inside jit tracing.
+            raise ValueError(
+                f"skip decoders support BasicBlock ResNets (18/34) only; "
+                f"got {self.encoder!r} (Bottleneck tap widths don't match)")
         if self.skip == "add" and self.encoder == "mobilenet":
             # Additive skips constrain decoder widths to encoder tap widths
             # (reference models.py:720-729; preserved by pruning, SURVEY.md §2).

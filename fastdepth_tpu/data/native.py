@@ -47,10 +47,9 @@ def load_library() -> Optional[ctypes.CDLL]:
     i64p = ctypes.POINTER(ctypes.c_int64)
     lib.fd_gather_rgb_f32.argtypes = [u8p, i64, i64, i64p, i64p, i64, i64, f32p]
     lib.fd_gather_depth_f32.argtypes = [f32p, i64, i64, i64p, i64p, i64, i64, f32p]
-    lib.fd_gather_rgb_f32_batch.argtypes = [u8p, i64, i64, i64, i64p, i64p, i64, i64, f32p]
     lib.fd_chw_to_hwc_u8.argtypes = [u8p, i64, i64, u8p]
     for fn in (lib.fd_gather_rgb_f32, lib.fd_gather_depth_f32,
-               lib.fd_gather_rgb_f32_batch, lib.fd_chw_to_hwc_u8):
+               lib.fd_chw_to_hwc_u8):
         fn.restype = None
     _LIB = lib
     return _LIB
@@ -69,6 +68,11 @@ def gather_rgb_f32(rgb: np.ndarray, rows: np.ndarray, cols: np.ndarray) -> np.nd
     lib = load_library()
     rows = np.ascontiguousarray(rows, np.int64)
     cols = np.ascontiguousarray(cols, np.int64)
+    if rgb.dtype != np.uint8:
+        raise ValueError(
+            f"gather_rgb_f32 takes raw uint8 HWC rgb, got {rgb.dtype} "
+            "(a float buffer would be reinterpreted byte-wise by the C "
+            "kernel)")
     if lib is None:
         return (rgb[rows][:, cols].astype(np.float32)) / 255.0
     rgb = np.ascontiguousarray(rgb)
@@ -98,6 +102,8 @@ def gather_depth_f32(depth: np.ndarray, rows: np.ndarray, cols: np.ndarray) -> n
 
 
 def chw_to_hwc_u8(chw: np.ndarray) -> np.ndarray:
+    if chw.dtype != np.uint8:
+        raise ValueError(f"chw_to_hwc_u8 takes uint8, got {chw.dtype}")
     lib = load_library()
     if lib is None:
         return np.transpose(chw, (1, 2, 0)).copy()

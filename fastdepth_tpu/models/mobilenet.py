@@ -18,7 +18,6 @@ import jax.numpy as jnp
 from fastdepth_tpu.config import MOBILENET_STRIDES, MOBILENET_V1_CHANNELS
 from fastdepth_tpu.models import layers as L
 from fastdepth_tpu.ops import blocks as B
-from fastdepth_tpu.ops import init as I
 
 Array = jax.Array
 

@@ -186,7 +186,7 @@ def apply_resnet_depth(
         return D.apply_decoder(dec, cfg.decoder, x7, train=train,
                                stats=_sub_stats(stats, "decoder"))
 
-    def dc(i, v, act=True):
+    def dc(i, v):
         p = dec[f"decode_conv{i}"]
         key = "conv" if "conv" in p else "pw"
         return L.apply_conv_bn(v, p[key], train=train, stats=stats,

@@ -116,8 +116,6 @@ def conv2d_transpose(
     lo = k - 1 - padding
     hi = k - 1 - padding + output_padding
     w_flip = jnp.flip(w, axis=(0, 1))          # rotate 180deg
-    # HWOI -> HWIO for the equivalent forward conv.
-    w_fwd = jnp.swapaxes(w_flip, 2, 3)
     if groups > 1:
         # grouped transpose: torch weight is (cin, cout/groups, kh, kw);
         # in HWOI that is (kh, kw, cout/groups, cin).  The equivalent
@@ -131,6 +129,9 @@ def conv2d_transpose(
         w_fwd = jnp.reshape(
             jnp.transpose(w_fwd, (0, 1, 3, 2, 4)), (k, k, cin // groups, groups * coutg)
         )
+    else:
+        # dense: HWOI -> HWIO for the equivalent forward conv
+        w_fwd = jnp.swapaxes(w_flip, 2, 3)
     out = lax.conv_general_dilated(
         x,
         w_fwd,
@@ -175,11 +176,21 @@ def fold_bn(w: Array, bn: Params, *, eps: float = BN_EPS, transpose: bool = Fals
     """Fold an inference BatchNorm into the preceding conv.
 
     Returns (w', b') with  conv(x, w') + b'  ==  bn(conv(x, w)).
-    ``transpose=True`` handles HWOI conv-transpose weights (scale on axis 2).
-    For depthwise HWIO weights (kh,kw,1,c) the output axis is still -1.
+    ``transpose=True`` handles DENSE HWOI conv-transpose weights (scale
+    on axis 2).  Depthwise HWIO weights (kh,kw,1,c) AND grouped
+    transpose-dw weights (same shape) both fold with transpose=False:
+    their trailing axis is the BN axis.
     """
     inv = 1.0 / jnp.sqrt(bn["var"] + eps) * bn["scale"]
     if transpose:
+        if w.shape[2] != inv.shape[0]:
+            # grouped HWOI transpose weights are (k, k, cout/groups, cin):
+            # their BN axis is NOT axis 2 — a silent broadcast here would
+            # produce a wrong-shaped weight. Grouped deconv-dw (k, k, 1, C)
+            # folds correctly with transpose=False (trailing axis == C).
+            raise ValueError(
+                f"transpose fold expects dense HWOI weights with cout on "
+                f"axis 2; got w{tuple(w.shape)} vs bn[{inv.shape[0]}]")
         w_f = w * inv[None, None, :, None]
     else:
         w_f = w * inv  # broadcasts over last (output) axis

@@ -17,7 +17,9 @@ def colored_depthmap(depth: np.ndarray, d_min: Optional[float] = None,
         d_min = float(np.min(depth))
     if d_max is None:
         d_max = float(np.max(depth))
-    rel = (depth - d_min) / (d_max - d_min)
+    span = d_max - d_min
+    # constant map (untrained model, zero pred): 0/0 would paint NaNs
+    rel = (depth - d_min) / span if span > 0 else np.zeros_like(depth)
     return 255 * plt.cm.viridis(rel)[:, :, :3]
 
 
@@ -43,7 +45,8 @@ def merge_into_row_with_gt(rgb: np.ndarray, depth_input: np.ndarray,
                            depth_target: np.ndarray,
                            depth_pred: np.ndarray) -> np.ndarray:
     """[rgb | input depth | gt | pred] strip (utils.py:60-74)."""
-    rgb = 255 * np.squeeze(np.asarray(rgb))
+    rgb = np.squeeze(np.asarray(rgb))
+    rgb = rgb.astype(np.float64) if rgb.dtype == np.uint8 else 255 * rgb
     din = np.squeeze(np.asarray(depth_input))
     tgt = np.squeeze(np.asarray(depth_target))
     pred = np.squeeze(np.asarray(depth_pred))

@@ -474,3 +474,11 @@ def test_opt_path_rejects_non_mobilenet_encoder():
                       encoder_channels=TINY_ENC, decoder_channels=TINY_DEC)
     with pytest.raises(ValueError, match="MobileNet"):
         apply_fastdepth_opt({}, jnp.zeros((1, 64, 64, 3)), cfg)
+
+
+def test_bottleneck_resnet_skip_rejected():
+    """resnet50/101/152 + skip fails at validate() with a clear message
+    instead of a broadcast error inside jit tracing (Bottleneck tap
+    widths never matched — latent in the reference's classes too)."""
+    with pytest.raises(ValueError, match="BasicBlock"):
+        ModelConfig(encoder="resnet50", skip="add").validate()

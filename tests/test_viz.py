@@ -36,3 +36,17 @@ def test_add_row_and_save(tmp_path, rng):
     from PIL import Image
 
     assert Image.open(path).size == (12, 8)
+
+
+def test_constant_depth_map_renders_without_nan():
+    """d_min == d_max (untrained/constant prediction) must not divide by
+    zero — the strip renders as a flat color, not NaNs."""
+    import numpy as np
+
+    from fastdepth_tpu.viz import colored_depthmap, merge_into_row
+
+    flat = np.full((8, 8), 3.0, np.float32)
+    out = colored_depthmap(flat)
+    assert np.all(np.isfinite(out))
+    row = merge_into_row(np.zeros((8, 8, 3), np.uint8), flat, flat)
+    assert np.all(np.isfinite(row))
