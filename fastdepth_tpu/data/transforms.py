@@ -73,6 +73,181 @@ def resize_nearest(img: np.ndarray, size) -> np.ndarray:
     return img[rows][:, cols]
 
 
+# ---------------------------------------------------------------------------
+# Convolution-based resize modes (reference transforms.py:311-341 accepts
+# interp = 'bilinear' / 'bicubic' / 'cubic' / 'lanczos' in addition to the
+# default 'nearest'; scipy.misc.imresize routed them to PIL Image.resize).
+# Unused by the NYU pipeline, provided for full transform-library parity.
+#
+# This is a NumPy re-implementation of Pillow's ImagingResample
+# (libImaging/Resample.c): separable horizontal-then-vertical passes; for
+# uint8 images the coefficients are quantized to int32 fixed point with
+# PRECISION_BITS = 22 and each pass re-quantizes to uint8 (clip8); for
+# mode-'F' images each pass accumulates in float64 and stores float32.
+# Accumulation below walks the taps in PIL's exact left-to-right order so
+# the float path is bit-identical too, not just close.  Verified against
+# Pillow across thousands of (size, filter, dtype) cases in
+# tests/test_transforms.py.
+
+_PRECISION_BITS = 32 - 8 - 2  # Pillow Resample.c
+
+
+def _filter_bilinear(x: np.ndarray) -> np.ndarray:
+    x = np.abs(x)
+    return np.where(x < 1.0, 1.0 - x, 0.0)
+
+
+def _filter_bicubic(x: np.ndarray) -> np.ndarray:
+    a = -0.5  # Keys kernel, Pillow's choice
+    x = np.abs(x)
+    r1 = ((a + 2.0) * x - (a + 3.0)) * x * x + 1
+    r2 = (((x - 5) * x + 8) * x - 4) * a
+    return np.where(x < 1.0, r1, np.where(x < 2.0, r2, 0.0))
+
+
+def _sinc(x: np.ndarray) -> np.ndarray:
+    xp = x * np.pi
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return np.where(x == 0.0, 1.0, np.sin(xp) / xp)
+
+
+def _filter_lanczos(x: np.ndarray) -> np.ndarray:
+    # Pillow uses the half-open window [-3, 3)
+    return np.where((-3.0 <= x) & (x < 3.0), _sinc(x) * _sinc(x / 3.0), 0.0)
+
+
+_PIL_FILTERS = {
+    "bilinear": (1.0, _filter_bilinear),
+    "bicubic": (2.0, _filter_bicubic),
+    "cubic": (2.0, _filter_bicubic),  # imresize aliased 'cubic' to bicubic
+    "lanczos": (3.0, _filter_lanczos),
+}
+
+
+def _resample_coeffs(in_size: int, out_size: int, interp: str):
+    """Pillow precompute_coeffs: per-dst-pixel (xmin, taps[ksize]) in f64."""
+    support0, filt = _PIL_FILTERS[interp]
+    scale = in_size / out_size
+    filterscale = max(scale, 1.0)
+    support = support0 * filterscale
+    ksize = int(np.ceil(support)) * 2 + 1
+    xx = np.arange(out_size, dtype=np.float64)
+    center = (xx + 0.5) * scale
+    # C truncation toward zero; operands here are always > -support
+    xmin = np.maximum((center - support + 0.5).astype(np.int64), 0)
+    xmax = np.minimum((center + support + 0.5).astype(np.int64), in_size) - xmin
+    taps = np.arange(ksize, dtype=np.float64)[None, :]
+    # C precomputes ss = 1/filterscale and multiplies — a division here
+    # is 1 ulp off for some taps, which flips final float32 roundings
+    w = filt((taps + xmin[:, None] - center[:, None] + 0.5) * (1.0 / filterscale))
+    w[taps >= xmax[:, None]] = 0.0  # beyond xmax: stays empty
+    # C sums ww tap-by-tap; numpy's pairwise sum() is 1 ulp off for some
+    # coefficient sets, which flips final float32 roundings downstream
+    ww = np.zeros((out_size, 1), np.float64)
+    for t in range(ksize):
+        ww += w[:, t : t + 1]
+    w = np.divide(w, ww, out=w, where=ww != 0.0)
+    return xmin, xmax, w
+
+
+def _quantize_coeffs(w: np.ndarray) -> np.ndarray:
+    """Pillow normalize_coeffs_8bpc: (int)(k * 2^22 ± 0.5), trunc to zero."""
+    s = w * float(1 << _PRECISION_BITS)
+    return (np.where(s < 0, s - 0.5, s + 0.5)).astype(np.int64)
+
+
+def _resample_axis0(img: np.ndarray, out_size: int, interp: str) -> np.ndarray:
+    """One Pillow resample pass along axis 0 (rows). uint8 in -> uint8 out
+    via the fixed-point path; anything else -> float32 via the 32bpc path.
+    Tap loop preserves PIL's accumulation order exactly."""
+    in_size = img.shape[0]
+    xmin, xmax, w = _resample_coeffs(in_size, out_size, interp)
+    ksize = w.shape[1]
+    flat = img.reshape(in_size, -1)
+    if img.dtype == np.uint8:
+        kk = _quantize_coeffs(w)
+        acc = np.full((out_size, flat.shape[1]), 1 << (_PRECISION_BITS - 1),
+                      np.int64)
+        for t in range(ksize):
+            idx = np.minimum(xmin + t, in_size - 1)  # zero-coeff taps: any row
+            acc += flat[idx].astype(np.int64) * kk[:, t : t + 1]
+        out = (acc >> _PRECISION_BITS).clip(0, 255)
+        out[acc >= (1 << _PRECISION_BITS << 8)] = 255
+        out[acc <= 0] = 0
+        return out.astype(np.uint8).reshape((out_size,) + img.shape[1:])
+    src = flat.astype(np.float64, copy=False)
+    acc = np.zeros((out_size, flat.shape[1]), np.float64)
+    for t in range(ksize):
+        idx = np.minimum(xmin + t, in_size - 1)
+        acc += src[idx] * w[:, t : t + 1]
+    return acc.astype(np.float32).reshape((out_size,) + img.shape[1:])
+
+
+def _bytescale(data: np.ndarray) -> np.ndarray:
+    """scipy.misc.bytescale default path (toimage normalized non-uint8
+    arrays through this before resizing)."""
+    cmin, cmax = float(data.min()), float(data.max())
+    cscale = cmax - cmin
+    if cscale == 0:
+        cscale = 1.0
+    scaled = (data - cmin) * (255.0 / cscale)
+    return (scaled.clip(0, 255) + 0.5).astype(np.uint8)
+
+
+def resize(img: np.ndarray, size, interp: str = "nearest",
+           mode: Optional[str] = None) -> np.ndarray:
+    """scipy.misc.imresize(img, size, interp[, mode]) for every interp the
+    reference Resize accepts (reference transforms.py:311-341).
+
+    * nearest: exact gather (resize_nearest), dtype-preserving.
+    * bilinear/bicubic/cubic/lanczos: Pillow-exact separable resample.
+      uint8 input stays on the quantized uint8 path; 2-D or mode='F'
+      input takes the float32 path (imresize cast floats via PIL mode
+      'F'); non-uint8 3-D input is bytescaled to uint8 first, matching
+      scipy's toimage normalization.
+    """
+    if interp == "nearest":
+        return resize_nearest(img, size)
+    if interp not in _PIL_FILTERS:
+        raise ValueError(f"unknown interpolation {interp!r}")
+    h, w = img.shape[:2]
+    th, tw = imresize_output_size(h, w, size)
+    if img.ndim == 2 or mode == "F":
+        out = np.asarray(img, np.float32)
+    elif img.dtype == np.uint8:
+        out = img
+    else:
+        out = _bytescale(np.asarray(img))
+    # Pillow ImagingResampleInner: horizontal pass first, then vertical;
+    # a pass whose size is unchanged is skipped entirely (identity).
+    if tw != w:
+        out = _resample_axis0(out.swapaxes(0, 1), tw, interp).swapaxes(0, 1)
+    if th != h:
+        out = _resample_axis0(out, th, interp)
+    if out.ndim == 2 and out.dtype != np.float32:
+        out = np.asarray(out, np.float32)  # 'F' mode returns float32
+    return out
+
+
+class Resize:
+    """Reference transforms.py:311-341 class surface: size may be a float
+    fraction, int percent, or (h, w) tuple; interp defaults to nearest;
+    2-D arrays ride the mode-'F' float path."""
+
+    def __init__(self, size, interpolation: str = "nearest"):
+        self.size = size
+        self.interpolation = interpolation
+
+    def __call__(self, img: np.ndarray) -> np.ndarray:
+        if img.ndim == 3:
+            return resize(img, self.size, self.interpolation)
+        if img.ndim == 2:
+            return resize(img, self.size, self.interpolation, mode="F")
+        raise RuntimeError(
+            f"img should be ndarray with 2 or 3 dimensions. Got {img.ndim}"
+        )
+
+
 def center_crop_offsets(h: int, w: int, th: int, tw: int) -> Tuple[int, int]:
     """Banker's-rounded center offsets (reference transforms.py:370-374)."""
     return int(round((h - th) / 2.0)), int(round((w - tw) / 2.0))
