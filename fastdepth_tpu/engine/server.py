@@ -305,13 +305,23 @@ def serve_unix_socket(
     def handle(conn):
         with conn:
             while not stop.is_set():
-                arr = _recv_npy(conn)
+                try:
+                    arr = _recv_npy(conn)
+                except ProtocolError as e:
+                    # malformed header/payload (oversized length claim,
+                    # non-npy bytes): drop THIS connection, keep serving —
+                    # a bad client must not wedge or crash the daemon
+                    log(f"!! protocol error: {e}")
+                    return
                 if arr is None:
                     return
                 try:
                     pred = server.submit(arr).result()
                     _send_npy(conn, pred)
                 except Exception as e:
+                    # includes BrokenPipeError when the client vanished
+                    # mid-response: the batch still completes for other
+                    # clients, only this connection dies
                     log(f"!! request failed: {type(e).__name__}: {e}")
                     return
 
@@ -344,6 +354,17 @@ def request(sock_path: str, rgb: np.ndarray) -> np.ndarray:
         c.close()
 
 
+class ProtocolError(ValueError):
+    """Malformed wire request (bad length header or non-npy payload)."""
+
+
+# Upper bound on a framed payload.  The largest legitimate frame is a raw
+# 480x640x3 float32 npy (~3.7 MB); 16 MiB leaves generous slack while a
+# hostile 4-byte header can no longer pin a handler thread (and its
+# receive buffers) on a multi-GB claim.
+MAX_PAYLOAD = 16 * 1024 * 1024
+
+
 def _send_npy(conn, arr: np.ndarray) -> None:
     import io
 
@@ -353,17 +374,26 @@ def _send_npy(conn, arr: np.ndarray) -> None:
     conn.sendall(len(payload).to_bytes(4, "big") + payload)
 
 
-def _recv_npy(conn):
+def _recv_npy(conn, max_payload: int = MAX_PAYLOAD):
+    """One length-prefixed npy frame; None on clean EOF / torn stream,
+    ProtocolError on hostile or corrupt framing."""
     import io
 
     head = _recv_exact(conn, 4)
     if head is None:
         return None
     n = int.from_bytes(head, "big")
+    if n > max_payload:
+        raise ProtocolError(
+            f"declared payload {n} bytes exceeds the {max_payload}-byte bound")
     body = _recv_exact(conn, n)
     if body is None:
         return None
-    return np.load(io.BytesIO(body))
+    try:
+        # never unpickle wire bytes — object-array payloads are refused
+        return np.load(io.BytesIO(body), allow_pickle=False)
+    except Exception as e:
+        raise ProtocolError(f"payload is not a loadable npy: {e}") from e
 
 
 def _recv_exact(conn, n: int):

@@ -228,6 +228,117 @@ def test_socket_refuses_live_hijack(rng, tmp_path):
         t.join(timeout=5)
 
 
+def _conn_dropped(c) -> bool:
+    """True iff the server ended this connection (EOF or reset)."""
+    try:
+        return c.recv(1) == b""
+    except ConnectionResetError:
+        return True
+
+
+def _live_socket(tmp_path, srv):
+    """Start serve_unix_socket on a thread; returns (sock_path, stop, t)."""
+    sock = str(tmp_path / "fd.sock")
+    stop = threading.Event()
+    ready = threading.Event()
+    t = threading.Thread(
+        target=serve_unix_socket, args=(srv, sock),
+        kwargs={"ready": ready, "stop": stop, "log": lambda *a: None},
+        daemon=True)
+    t.start()
+    assert ready.wait(timeout=10)
+    return sock, stop, t
+
+
+def test_socket_rejects_oversized_length_header(rng, tmp_path):
+    """A hostile 4-byte header claiming a multi-GB payload must get the
+    connection dropped (bounded by MAX_PAYLOAD), not pin a handler thread
+    forever — and the daemon keeps serving well-formed clients."""
+    import socket as socketlib
+
+    model, params = _model_and_params()
+    with InferenceServer(model, params, batch_size=2, image_size=(HW, HW)) as srv:
+        sock, stop, t = _live_socket(tmp_path, srv)
+        c = socketlib.socket(socketlib.AF_UNIX, socketlib.SOCK_STREAM)
+        c.connect(sock)
+        c.settimeout(10)
+        c.sendall((0xFFFFFFFF).to_bytes(4, "big") + b"\x93NUMPY junk")
+        # server must drop the connection: clean EOF, or RST if our
+        # unread bytes were still in flight when it closed
+        assert _conn_dropped(c)
+        c.close()
+        # ...and stay alive for the next client
+        frame = rng.rand(HW, HW, 3).astype(np.float32)
+        assert request(sock, frame).shape == (HW, HW, 1)
+        stop.set()
+        t.join(timeout=5)
+
+
+def test_socket_rejects_garbage_payload(rng, tmp_path):
+    """A well-framed but non-npy body (or a pickle bomb) is refused via
+    ProtocolError — np.load runs with allow_pickle=False — and the daemon
+    survives."""
+    import io
+    import pickle
+    import socket as socketlib
+
+    model, params = _model_and_params()
+    with InferenceServer(model, params, batch_size=2, image_size=(HW, HW)) as srv:
+        sock, stop, t = _live_socket(tmp_path, srv)
+        for body in (
+            b"this is not an npy payload at all",
+            # object-array npy: np.save of a pickled payload
+            (lambda b: (np.save(b, np.array([{"x": 1}], dtype=object),
+                                allow_pickle=True), b.getvalue())[1])(io.BytesIO()),
+            pickle.dumps({"boom": 1}),
+        ):
+            c = socketlib.socket(socketlib.AF_UNIX, socketlib.SOCK_STREAM)
+            c.connect(sock)
+            c.settimeout(10)
+            c.sendall(len(body).to_bytes(4, "big") + body)
+            assert _conn_dropped(c)
+            c.close()
+        frame = rng.rand(HW, HW, 3).astype(np.float32)
+        assert request(sock, frame).shape == (HW, HW, 1)
+        stop.set()
+        t.join(timeout=5)
+
+
+def test_socket_survives_client_disconnects(rng, tmp_path):
+    """Torn streams in both directions: a client that dies mid-request
+    (truncated body) and one that dies before reading its response leave
+    the daemon healthy; concurrent well-behaved clients are unaffected."""
+    import io
+    import socket as socketlib
+
+    model, params = _model_and_params()
+    frame = rng.rand(HW, HW, 3).astype(np.float32)
+    with InferenceServer(model, params, batch_size=2, image_size=(HW, HW)) as srv:
+        sock, stop, t = _live_socket(tmp_path, srv)
+        # (a) die mid-request: declare 10 KB, send 100 bytes, vanish
+        c = socketlib.socket(socketlib.AF_UNIX, socketlib.SOCK_STREAM)
+        c.connect(sock)
+        c.sendall((10240).to_bytes(4, "big") + b"\x00" * 100)
+        c.close()
+        # (b) die mid-response: send a full valid request, never read,
+        # close immediately (sendall on the server side hits EPIPE or a
+        # dead buffer; either way only that connection dies)
+        buf = io.BytesIO()
+        np.save(buf, frame)
+        payload = buf.getvalue()
+        for _ in range(3):
+            c = socketlib.socket(socketlib.AF_UNIX, socketlib.SOCK_STREAM)
+            c.connect(sock)
+            c.sendall(len(payload).to_bytes(4, "big") + payload)
+            c.shutdown(socketlib.SHUT_RDWR)
+            c.close()
+        # healthy client still gets correct service
+        ref = np.asarray(model.apply(model.fold(params), jnp.asarray(frame[None])))[0]
+        np.testing.assert_allclose(request(sock, frame), ref, atol=1e-5)
+        stop.set()
+        t.join(timeout=5)
+
+
 def test_server_mesh_sharded_matches_single_device(rng):
     """A mesh-backed server (batch sharded over the 8-device CPU mesh)
     returns the same predictions as the single-device server."""
