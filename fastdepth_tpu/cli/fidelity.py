@@ -21,6 +21,10 @@ def parse_args(argv=None):
     p.add_argument("-e", "--evaluate", required=True)
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("-j", "--workers", type=int, default=8)
+    p.add_argument("--limit", type=int, default=0,
+                   help="evaluate only the first N images (0 = all)")
+    p.add_argument("--json", default=None,
+                   help="also write the per-metric table to this JSON file")
     return p.parse_args(argv)
 
 
@@ -36,6 +40,8 @@ def main(argv=None):
 
     params, model, _ = load_params_and_model(args.evaluate)
     dataset = NYUDataset(os.path.join(args.data_root, args.data, "val"), split="val")
+    if args.limit:
+        dataset = dataset.take(args.limit)
 
     results = {}
     for tag, dtype in (("fp32", jnp.float32), ("bf16", jnp.bfloat16)):
@@ -48,11 +54,21 @@ def main(argv=None):
               f"Delta1={results[tag].delta1:.4f} REL={results[tag].absrel:.4f}")
 
     print("\nmetric       fp32         bf16         |delta|      rel")
+    table = {}
     for f in METRIC_FIELDS:
         a = getattr(results["fp32"], f)
         b = getattr(results["bf16"], f)
         rel = abs(b - a) / abs(a) if a else 0.0
+        table[f] = {"fp32": a, "bf16": b, "abs_delta": abs(b - a), "rel": rel}
         print(f"{f:<10}  {a:>11.5f}  {b:>11.5f}  {abs(b - a):>11.5f}  {rel:>8.2%}")
+    if args.json:
+        import json
+
+        with open(args.json, "w") as fh:
+            json.dump({"checkpoint": args.evaluate, "images": len(dataset),
+                       "batch_size": args.batch_size, "metrics": table},
+                      fh, indent=1)
+        print(f"=> wrote {args.json}")
     return results
 
 

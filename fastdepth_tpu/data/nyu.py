@@ -135,6 +135,15 @@ class NYUDataset:
     def __len__(self) -> int:
         return len(self.imgs)
 
+    def take(self, n: int) -> "NYUDataset":
+        """Shallow view over the first ``n`` items (bounded fidelity /
+        parity runs — cli/fidelity.py --limit)."""
+        import copy
+
+        ds = copy.copy(self)
+        ds.imgs = self.imgs[: int(n)]
+        return ds
+
     def get_raw(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
         return self.loader(self.imgs[index])
 
