@@ -116,11 +116,14 @@ def main():
     tx2_gpu_fps = 1000.0 / 5.6  # README.md:136
     if best_fps:
         results["best_us_per_frame"] = round(1e6 / best_fps, 2)
-        # aggregate conv-boundary roofline for the head-commuted forward,
-        # bf16 b128: 37.7 us/frame (docs/roofline.md) — only meaningful
-        # when that config is the winner
+        # two denominators (docs/roofline.md): spec-peak conv-boundary
+        # aggregate 37.7 us/frame, and the round-3 MEASURED-ceiling
+        # composite ~56 us/frame (elementwise 585-822 GB/s + measured dw
+        # chain times, docs/probe_r3_hbm.json) — only meaningful when
+        # the head-commuted bf16 b128 config is the winner
         if best_cfg == "bf16_opt_b128":
-            results["x_roofline"] = round(1e6 / best_fps / 37.7, 2)
+            results["x_roofline_spec"] = round(1e6 / best_fps / 37.7, 2)
+            results["x_roofline_measured"] = round(1e6 / best_fps / 56.2, 2)
     print(json.dumps({
         "metric": "224x224 NYUv2 frames/sec/chip",
         "value": round(best_fps, 1),

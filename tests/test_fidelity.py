@@ -28,13 +28,23 @@ def test_fidelity_cli(tmp_path, rng, capsys):
 
     from fastdepth_tpu.cli import fidelity
 
+    json_path = str(tmp_path / "fidelity.json")
     results = fidelity.main([
         "--evaluate", ckpt,
         "--data-root", str(tmp_path),
-        "--batch-size", "3",
+        "--batch-size", "2",
+        "--limit", "2",
+        "--json", json_path,
     ])
     out = capsys.readouterr().out
     assert "[fp32]" in out and "[bf16]" in out and "rmse" in out
     # bf16 shouldn't be catastrophically different on this tiny model
     rel = abs(results["bf16"].rmse - results["fp32"].rmse) / results["fp32"].rmse
     assert rel < 0.05
+    import json
+
+    with open(json_path) as f:
+        payload = json.load(f)
+    assert payload["images"] == 2  # --limit honored
+    assert set(payload["metrics"]) >= {"rmse", "delta1", "absrel"}
+    assert payload["metrics"]["rmse"]["fp32"] == results["fp32"].rmse
