@@ -50,6 +50,13 @@ def parse_args(argv=None):
     p.add_argument("--ping-out", default=None, metavar="PRED_NPY",
                    help="with --ping: also save the prediction (NCHW, like "
                         "the reference deploy runner)")
+    p.add_argument("--stream", type=int, default=0, metavar="N",
+                   help="with --ping: send the frame N times PIPELINED on "
+                        "one connection (request_stream) and report client-"
+                        "side fps — how a real client should feed the "
+                        "server's device batch")
+    p.add_argument("--stream-depth", type=int, default=64, metavar="D",
+                   help="with --stream: max requests in flight")
     p.add_argument("--stats-every", type=float, default=30.0, metavar="SEC",
                    help="log served-frames/occupancy stats every SEC seconds "
                         "(0 disables)")
@@ -69,6 +76,21 @@ def main(argv=None):
             rgb = np.transpose(rgb, (1, 2, 0))
         if rgb.dtype != np.uint8:  # uint8 passes through (uint8 servers)
             rgb = rgb.astype(np.float32)
+        if args.stream:
+            import time
+
+            from fastdepth_tpu.engine.server import request_stream
+
+            t0 = time.perf_counter()
+            n = 0
+            for pred in request_stream(args.socket, (rgb,) * args.stream,
+                                       depth=args.stream_depth):
+                n += 1
+            dt = time.perf_counter() - t0
+            print(f"streamed {n} frames in {dt:.3f}s = {n / dt:.1f} fps "
+                  f"(depth {args.stream_depth}); last pred "
+                  f"mean={pred.mean():.4f}")
+            return 0
         pred = request(args.socket, rgb)
         print(f"pred shape={pred.shape} min={pred.min():.4f} "
               f"max={pred.max():.4f} mean={pred.mean():.4f}")

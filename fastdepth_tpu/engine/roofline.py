@@ -83,6 +83,49 @@ def layer_bounds(cfg, image_size: int = 224) -> List[Tuple[str, int, int, int, i
     return rows
 
 
+def measured_stage_bounds(cfg, probe: dict, image_size: int = 224):
+    """Round-3 measured-ceiling bounds for the dw decoder stages 3-5
+    (docs/roofline.md 'the denominator, measured') from a
+    docs/probe_r3_hbm.json payload:
+
+    * dw term = the measured barrier-chained dw5x5 time at that exact
+      geometry (per frame, b128) — the lowering's intrinsic rate,
+    * pw term = conv-boundary bytes at the measured pw-conv rate,
+    * upsample(+skip-add) term = bytes at the measured add-pattern rate
+      (skip stages) or the measured large-tensor elementwise rate.
+
+    Returns {stage_index: (total_us, dw_us, pw_us, ups_us)} per frame.
+    Single source for the doc table + its consistency test.
+    """
+    rows = {r["name"]: r for r in probe["rows"]}
+    batch = 128  # the probes ran b128
+    dw_us = {
+        3: rows["dec3 dw5x5 256ch@28^2"]["per_pass_us"] / batch,
+        4: rows["dec4 dw5x5 120ch@56^2"]["per_pass_us"] / batch,
+        5: rows["dec5 dw5x5 56ch@112^2"]["per_pass_us"] / batch,
+    }
+    pw_bps = rows["pw 56->56 @112^2"]["GBs"] * 1e9
+    add_bps = rows["add+mul dec4_out (5 moves)"]["GBs"] * 1e9
+    mul_bps = rows["mul dec5_out (128,224,224,16)"]["GBs"] * 1e9
+
+    enc, dec = cfg.encoder_channels, cfg.decoder_channels
+    skips = {2, 3, 4} if cfg.skip else set()
+    # spatial size entering each decoder stage (stride pattern fixes /32)
+    h = image_size // 32
+    cin = enc[13]
+    out = {}
+    for i, cout in enumerate(dec, start=1):
+        if i in dw_us:
+            pw_b = (h * h * cin + h * h * cout) * 2
+            ups_b = (h * h * cout
+                     + (2 if i in skips else 1) * (2 * h) ** 2 * cout) * 2
+            pw_t = pw_b / pw_bps * 1e6
+            ups_t = ups_b / (add_bps if i in skips else mul_bps) * 1e6
+            out[i] = (dw_us[i] + pw_t + ups_t, dw_us[i], pw_t, ups_t)
+        h, cin = 2 * h, cout
+    return out
+
+
 def bound_components_us(hbm_elems: int, mxu_macs: int, vpu_macs: int,
                         dtype_bytes: int, batch: int = 1):
     """(hbm_us, mxu_us, vpu_us) for a batch."""

@@ -303,27 +303,63 @@ def serve_unix_socket(
     log(f"=> serving on {sock_path} (batch {server.batch_size})")
 
     def handle(conn):
-        with conn:
-            while not stop.is_set():
-                try:
-                    arr = _recv_npy(conn)
-                except ProtocolError as e:
-                    # malformed header/payload (oversized length claim,
-                    # non-npy bytes): drop THIS connection, keep serving —
-                    # a bad client must not wedge or crash the daemon
-                    log(f"!! protocol error: {e}")
+        # Pipelined per-connection protocol: the reader thread (this one)
+        # submits every frame as it arrives and queues the future; a
+        # writer thread streams results back in request order.  A client
+        # may therefore keep many requests in flight on one connection —
+        # that is what lets a single client fill the compiled device
+        # batch (the reference's runner is strictly one-shot,
+        # deploy/tx2_run_tvm.py:35-40).
+        out_q: "queue.Queue" = queue.Queue()
+
+        def writer():
+            while True:
+                fut = out_q.get()
+                if fut is None:
                     return
-                if arr is None:
-                    return
                 try:
-                    pred = server.submit(arr).result()
-                    _send_npy(conn, pred)
+                    _send_npy(conn, fut.result())
                 except Exception as e:
                     # includes BrokenPipeError when the client vanished
                     # mid-response: the batch still completes for other
                     # clients, only this connection dies
-                    log(f"!! request failed: {type(e).__name__}: {e}")
-                    return
+                    log(f"!! response failed: {type(e).__name__}: {e}")
+                    try:
+                        import socket as _s
+
+                        conn.shutdown(_s.SHUT_RDWR)  # unblock the reader
+                    except OSError:
+                        pass
+                    while True:  # drain; futures already resolve elsewhere
+                        if out_q.get() is None:
+                            return
+
+        wt = threading.Thread(target=writer, daemon=True)
+        wt.start()
+        with conn:
+            try:
+                while not stop.is_set():
+                    try:
+                        arr = _recv_npy(conn)
+                    except ProtocolError as e:
+                        # malformed header/payload (oversized length
+                        # claim, non-npy bytes): drop THIS connection,
+                        # keep serving — a bad client must not wedge or
+                        # crash the daemon
+                        log(f"!! protocol error: {e}")
+                        return
+                    except OSError:
+                        return  # writer shut the socket down
+                    if arr is None:
+                        return
+                    try:
+                        out_q.put(server.submit(arr))
+                    except Exception as e:
+                        log(f"!! request failed: {type(e).__name__}: {e}")
+                        return
+            finally:
+                out_q.put(None)
+                wt.join(timeout=30)
 
     try:
         while not stop.is_set():
@@ -351,6 +387,58 @@ def request(sock_path: str, rgb: np.ndarray) -> np.ndarray:
             raise ConnectionError("server closed the connection")
         return out
     finally:
+        c.close()
+
+
+def request_stream(sock_path: str, frames, depth: int = 32):
+    """Pipelined client: keep up to ``depth`` requests in flight on one
+    connection and yield predictions in frame order.  This is how a
+    single client saturates the server's compiled device batch — the
+    server's per-connection reader/writer split answers in order, so
+    sending ahead is safe."""
+    import socket
+    import threading as _t
+
+    c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    c.connect(sock_path)
+    sem = _t.Semaphore(depth)
+    n_sent = 0
+    send_err = []
+
+    def sender():
+        nonlocal n_sent
+        try:
+            for f in frames:
+                sem.acquire()
+                _send_npy(c, np.asarray(f))
+                n_sent += 1
+        except Exception as e:  # surfaced by the reader on short stream
+            send_err.append(e)
+        finally:
+            try:
+                c.shutdown(socket.SHUT_WR)  # half-close: EOF after last
+            except OSError:
+                pass
+
+    st = _t.Thread(target=sender, daemon=True)
+    st.start()
+    n_recv = 0
+    try:
+        while True:
+            out = _recv_npy(c)
+            if out is None:
+                st.join()
+                if send_err:
+                    raise send_err[0]
+                if n_recv != n_sent:
+                    raise ConnectionError(
+                        f"server closed mid-stream ({n_recv}/{n_sent} answered)")
+                return
+            n_recv += 1
+            sem.release()
+            yield out
+    finally:
+        st.join(timeout=5)
         c.close()
 
 

@@ -280,3 +280,33 @@ def test_roofline_module_matches_committed_doc():
     for want, (_key, _macs, hbm_e, mxu, vpu) in zip(doc_bounds, rows):
         h, m, v = bound_components_us(hbm_e, mxu, vpu, dtype_bytes=2)
         assert abs(max(h, m, v) - want) < 5e-3, (_key, want, max(h, m, v))
+
+
+def test_measured_roofline_matches_committed_doc():
+    """The round-3 'measured-ceiling bound' table in docs/roofline.md is
+    regenerated from engine/roofline.measured_stage_bounds over the
+    committed probe payload (docs/probe_r3_hbm.json) — doc numbers can't
+    drift from the recorded measurements."""
+    import json
+    import re
+
+    from fastdepth_tpu.config import FASTDEPTH_PRUNED
+    from fastdepth_tpu.engine.roofline import measured_stage_bounds
+
+    root = os.path.join(os.path.dirname(__file__), "..", "docs")
+    probe = json.load(open(os.path.join(root, "probe_r3_hbm.json")))
+    doc = open(os.path.join(root, "roofline.md")).read()
+    got = measured_stage_bounds(FASTDEPTH_PRUNED, probe)
+    assert set(got) == {3, 4, 5}
+    # rows: | decN | spec | total (dw D + pw P + ups/add U) | marginal | Xx |
+    pat = (r"^\| dec(\d) \| [0-9.]+ \| ([0-9.]+) +\(dw ([0-9.]+) \+ pw "
+           r"([0-9.]+) \+ ups\S* ([0-9.]+)\) \| ([0-9.]+) \| ([0-9.]+)x \|")
+    found = {int(m[0]): tuple(float(v) for v in m[1:])
+             for m in re.findall(pat, doc, re.M)}
+    assert set(found) == {3, 4, 5}, found
+    for i, (total, dw, pw, ups, marginal, x) in found.items():
+        g_total, g_dw, g_pw, g_ups = got[i]
+        assert abs(g_total - total) < 0.06, (i, total, g_total)
+        assert abs(g_dw - dw) < 0.06 and abs(g_pw - pw) < 0.06
+        assert abs(g_ups - ups) < 0.06, (i, ups, g_ups)
+        assert abs(marginal / g_total - x) < 0.01, (i, x, marginal / g_total)

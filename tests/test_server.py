@@ -120,6 +120,26 @@ def test_serve_cli_ping(rng, tmp_path, capsys):
     np.testing.assert_allclose(saved[0, 0], ref[0, :, :, 0], atol=1e-5)
 
 
+def test_serve_cli_stream_ping(rng, tmp_path, capsys):
+    """--ping --stream N drives the pipelined client through the CLI."""
+    from fastdepth_tpu.cli import serve as serve_cli
+
+    model, params = _model_and_params()
+    frame = rng.rand(HW, HW, 3).astype(np.float32)
+    rgb_path = str(tmp_path / "rgb.npy")
+    np.save(rgb_path, frame)
+    with InferenceServer(model, params, batch_size=4, image_size=(HW, HW)) as srv:
+        sock, stop, t = _live_socket(tmp_path, srv)
+        rc = serve_cli.main(["--socket", sock, "--ping", rgb_path,
+                             "--stream", "9", "--stream-depth", "8"])
+        stop.set()
+        t.join(timeout=5)
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "streamed 9 frames" in out
+    assert srv.stats()["frames"] == 9
+
+
 def test_server_uint8_device_normalize(rng):
     """uint8 ingestion == float path on the same /255'd frames (the
     Evaluator's --device-normalize math, 4x less transfer)."""
@@ -335,6 +355,51 @@ def test_socket_survives_client_disconnects(rng, tmp_path):
         # healthy client still gets correct service
         ref = np.asarray(model.apply(model.fold(params), jnp.asarray(frame[None])))[0]
         np.testing.assert_allclose(request(sock, frame), ref, atol=1e-5)
+        stop.set()
+        t.join(timeout=5)
+
+
+def test_socket_pipelined_stream(rng, tmp_path):
+    """request_stream keeps many requests in flight on ONE connection and
+    receives every prediction in order — a single client can fill the
+    compiled device batch (mean_occupancy rises above one-at-a-time)."""
+    from fastdepth_tpu.engine.server import request_stream
+
+    model, params = _model_and_params()
+    frames = [rng.rand(HW, HW, 3).astype(np.float32) for _ in range(21)]
+    ref = np.asarray(model.apply(model.fold(params), jnp.asarray(np.stack(frames))))
+    with InferenceServer(model, params, batch_size=4, image_size=(HW, HW)) as srv:
+        sock, stop, t = _live_socket(tmp_path, srv)
+        preds = list(request_stream(sock, frames, depth=16))
+        assert len(preds) == 21
+        for i, p in enumerate(preds):
+            np.testing.assert_allclose(p, ref[i], atol=1e-5, err_msg=str(i))
+        stats = srv.stats()
+        assert stats["frames"] == 21
+        # with 16 in flight against batch 4, packing must beat 1/batch
+        assert stats["mean_occupancy"] > 0.3, stats
+        stop.set()
+        t.join(timeout=5)
+
+
+def test_socket_stream_survives_bad_middle_frame(rng, tmp_path):
+    """A wrong-shape frame mid-stream kills only that connection (after
+    in-flight answers drain); a fresh stream still works."""
+    import pytest
+
+    from fastdepth_tpu.engine.server import request_stream
+
+    model, params = _model_and_params()
+    good = [rng.rand(HW, HW, 3).astype(np.float32) for _ in range(3)]
+    bad_mix = [good[0], rng.rand(8, 8, 3).astype(np.float32), good[1]]
+    with InferenceServer(model, params, batch_size=2, image_size=(HW, HW)) as srv:
+        sock, stop, t = _live_socket(tmp_path, srv)
+        with pytest.raises((ConnectionError, BrokenPipeError, OSError)):
+            # the server rejects the 8x8 frame and closes; fewer answers
+            # than sends -> the client reports the torn stream
+            list(request_stream(sock, bad_mix, depth=4))
+        preds = list(request_stream(sock, good, depth=4))
+        assert len(preds) == 3
         stop.set()
         t.join(timeout=5)
 
