@@ -118,12 +118,24 @@ def main():
         results["best_us_per_frame"] = round(1e6 / best_fps, 2)
         # two denominators (docs/roofline.md): spec-peak conv-boundary
         # aggregate 37.7 us/frame, and the round-3 MEASURED-ceiling
-        # composite ~56 us/frame (elementwise 585-822 GB/s + measured dw
-        # chain times, docs/probe_r3_hbm.json) — only meaningful when
-        # the head-commuted bf16 b128 config is the winner
+        # composite (single-sourced from engine/roofline over the
+        # committed probe payload) — only meaningful when the
+        # head-commuted bf16 b128 config is the winner
         if best_cfg == "bf16_opt_b128":
             results["x_roofline_spec"] = round(1e6 / best_fps / 37.7, 2)
-            results["x_roofline_measured"] = round(1e6 / best_fps / 56.2, 2)
+            try:
+                from fastdepth_tpu.config import FASTDEPTH_PRUNED
+                from fastdepth_tpu.engine.roofline import measured_composite_us
+
+                probe_path = os.path.join(os.path.dirname(
+                    os.path.abspath(__file__)), "docs", "probe_r3_hbm.json")
+                with open(probe_path) as pf:
+                    composite = measured_composite_us(
+                        FASTDEPTH_PRUNED, json.load(pf))
+                results["x_roofline_measured"] = round(
+                    1e6 / best_fps / composite, 2)
+            except (OSError, KeyError):
+                pass  # probe payload absent: spec ratio still reported
     print(json.dumps({
         "metric": "224x224 NYUv2 frames/sec/chip",
         "value": round(best_fps, 1),

@@ -90,6 +90,9 @@ def main(argv=None):
             print(f"streamed {n} frames in {dt:.3f}s = {n / dt:.1f} fps "
                   f"(depth {args.stream_depth}); last pred "
                   f"mean={pred.mean():.4f}")
+            if args.ping_out:  # save the last prediction, like --ping
+                np.save(args.ping_out, np.transpose(pred[None], (0, 3, 1, 2)))
+                print(f"=> saved {args.ping_out}")
             return 0
         pred = request(args.socket, rgb)
         print(f"pred shape={pred.shape} min={pred.min():.4f} "

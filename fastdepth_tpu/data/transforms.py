@@ -212,10 +212,14 @@ def resize(img: np.ndarray, size, interp: str = "nearest",
         raise ValueError(f"unknown interpolation {interp!r}")
     h, w = img.shape[:2]
     th, tw = imresize_output_size(h, w, size)
-    if img.ndim == 2 or mode == "F":
+    if mode == "F":
         out = np.asarray(img, np.float32)
     elif img.dtype == np.uint8:
+        # scipy toimage: 2-D uint8 -> mode 'L', 3-D uint8 -> 'RGB' —
+        # both ride PIL's quantized fixed-point path and return uint8
         out = img
+    elif img.ndim == 2:
+        out = np.asarray(img, np.float32)  # imresize 2-D float -> 'F'
     else:
         out = _bytescale(np.asarray(img))
     # Pillow ImagingResampleInner: horizontal pass first, then vertical;
@@ -224,8 +228,10 @@ def resize(img: np.ndarray, size, interp: str = "nearest",
         out = _resample_axis0(out.swapaxes(0, 1), tw, interp).swapaxes(0, 1)
     if th != h:
         out = _resample_axis0(out, th, interp)
-    if out.ndim == 2 and out.dtype != np.float32:
-        out = np.asarray(out, np.float32)  # 'F' mode returns float32
+    if out is img or out.base is img:
+        # both passes skipped (or a no-copy cast): PIL always returns a
+        # fresh buffer — never alias the caller's source image
+        out = out.copy()
     return out
 
 

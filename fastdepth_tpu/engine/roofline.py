@@ -126,6 +126,30 @@ def measured_stage_bounds(cfg, probe: dict, image_size: int = 224):
     return out
 
 
+def measured_composite_us(cfg, probe: dict, image_size: int = 224) -> float:
+    """Aggregate per-frame achievable-composite bound for the
+    head-commuted forward (docs/roofline.md round-3 section): decoder
+    stages with a measured dw chain use :func:`measured_stage_bounds`;
+    every other row's conv-boundary HBM bytes are priced at the measured
+    mid-size elementwise rate (the 64 MB flat-mul probe — encoder
+    activations at b128 span 24-180 MB); the head row runs at 112^2
+    under the commute (1/4 of its 224^2 bytes).  Single source for the
+    doc's aggregate AND bench.py's x_roofline_measured."""
+    rows = layer_bounds(cfg, image_size)
+    meas = measured_stage_bounds(cfg, probe, image_size)
+    by_name = {r["name"]: r for r in probe["rows"]}
+    elt_bps = by_name["flat mul bf16 64MB"]["GBs"] * 1e9
+    total = 0.0
+    for key, _macs, hbm_e, _mxu, _vpu in rows:
+        if key.startswith("dec.stage") and int(key[-1]) in meas:
+            total += meas[int(key[-1])][0]
+        elif key == "dec.head":
+            total += hbm_e / 4 * 2 / elt_bps * 1e6
+        else:
+            total += hbm_e * 2 / elt_bps * 1e6
+    return total
+
+
 def bound_components_us(hbm_elems: int, mxu_macs: int, vpu_macs: int,
                         dtype_bytes: int, batch: int = 1):
     """(hbm_us, mxu_us, vpu_us) for a batch."""

@@ -336,30 +336,41 @@ def serve_unix_socket(
 
         wt = threading.Thread(target=writer, daemon=True)
         wt.start()
-        with conn:
-            try:
-                while not stop.is_set():
-                    try:
-                        arr = _recv_npy(conn)
-                    except ProtocolError as e:
-                        # malformed header/payload (oversized length
-                        # claim, non-npy bytes): drop THIS connection,
-                        # keep serving — a bad client must not wedge or
-                        # crash the daemon
-                        log(f"!! protocol error: {e}")
-                        return
-                    except OSError:
-                        return  # writer shut the socket down
-                    if arr is None:
-                        return
-                    try:
-                        out_q.put(server.submit(arr))
-                    except Exception as e:
-                        log(f"!! request failed: {type(e).__name__}: {e}")
-                        return
-            finally:
-                out_q.put(None)
-                wt.join(timeout=30)
+        try:
+            while not stop.is_set():
+                try:
+                    arr = _recv_npy(conn)
+                except ProtocolError as e:
+                    # malformed header/payload (oversized length claim,
+                    # non-npy bytes): drop THIS connection, keep serving
+                    # — a bad client must not wedge or crash the daemon
+                    log(f"!! protocol error: {e}")
+                    return
+                except OSError:
+                    return  # writer shut the socket down
+                if arr is None:
+                    return
+                try:
+                    out_q.put(server.submit(arr))
+                except Exception as e:
+                    log(f"!! request failed: {type(e).__name__}: {e}")
+                    return
+        finally:
+            out_q.put(None)
+            wt.join(timeout=30)
+            if wt.is_alive():
+                # writer stuck in sendall against a peer that stopped
+                # reading: shutdown() breaks the send WITHOUT
+                # invalidating the fd (close() under a concurrent
+                # sendall re-uses a dead fd in CPython), then reap
+                import socket as _s
+
+                try:
+                    conn.shutdown(_s.SHUT_RDWR)
+                except OSError:
+                    pass
+                wt.join(timeout=5)
+            conn.close()
 
     try:
         while not stop.is_set():
@@ -402,6 +413,7 @@ def request_stream(sock_path: str, frames, depth: int = 32):
     c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
     c.connect(sock_path)
     sem = _t.Semaphore(depth)
+    dead = _t.Event()  # reader died / stream over: unblocks the sender
     n_sent = 0
     send_err = []
 
@@ -409,7 +421,15 @@ def request_stream(sock_path: str, frames, depth: int = 32):
         nonlocal n_sent
         try:
             for f in frames:
-                sem.acquire()
+                # timed acquire + dead-check: if the server stops
+                # answering (clean EOF mid-stream), the window never
+                # refills — a bare acquire() would block this thread
+                # forever and the final join() with it
+                while not sem.acquire(timeout=0.1):
+                    if dead.is_set():
+                        return
+                if dead.is_set():
+                    return
                 _send_npy(c, np.asarray(f))
                 n_sent += 1
         except Exception as e:  # surfaced by the reader on short stream
@@ -427,6 +447,7 @@ def request_stream(sock_path: str, frames, depth: int = 32):
         while True:
             out = _recv_npy(c)
             if out is None:
+                dead.set()
                 st.join()
                 if send_err:
                     raise send_err[0]
@@ -438,6 +459,7 @@ def request_stream(sock_path: str, frames, depth: int = 32):
             sem.release()
             yield out
     finally:
+        dead.set()
         st.join(timeout=5)
         c.close()
 

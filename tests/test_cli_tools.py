@@ -310,3 +310,13 @@ def test_measured_roofline_matches_committed_doc():
         assert abs(g_dw - dw) < 0.06 and abs(g_pw - pw) < 0.06
         assert abs(g_ups - ups) < 0.06, (i, ups, g_ups)
         assert abs(marginal / g_total - x) < 0.01, (i, x, marginal / g_total)
+
+    # the doc's aggregate composite is the same single-sourced function
+    # bench.py uses for x_roofline_measured
+    from fastdepth_tpu.engine.roofline import measured_composite_us
+
+    m = re.search(r"\*\*([0-9.]+) us/frame\nachievable-composite bound\*\*",
+                  doc)
+    assert m, "aggregate composite line missing from roofline.md"
+    assert abs(measured_composite_us(FASTDEPTH_PRUNED, probe)
+               - float(m.group(1))) < 0.05

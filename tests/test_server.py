@@ -404,6 +404,39 @@ def test_socket_stream_survives_bad_middle_frame(rng, tmp_path):
         t.join(timeout=5)
 
 
+def test_request_stream_no_hang_on_server_eof(rng, tmp_path):
+    """A server that answers a couple of frames then closes cleanly must
+    make request_stream raise promptly — with frames >> depth the sender
+    sits in the window-acquire, and without the dead-flag it would block
+    the final join forever (review finding)."""
+    import socket as socketlib
+    import time
+
+    import pytest
+
+    from fastdepth_tpu.engine.server import _recv_npy, _send_npy, request_stream
+
+    sock_path = str(tmp_path / "eof.sock")
+    srv = socketlib.socket(socketlib.AF_UNIX, socketlib.SOCK_STREAM)
+    srv.bind(sock_path)
+    srv.listen(1)
+
+    def fake_server():
+        conn, _ = srv.accept()
+        with conn:
+            for _ in range(2):
+                arr = _recv_npy(conn)
+                _send_npy(conn, arr[..., :1])
+        srv.close()
+
+    threading.Thread(target=fake_server, daemon=True).start()
+    frames = [rng.rand(4, 4, 3).astype(np.float32) for _ in range(40)]
+    t0 = time.time()
+    with pytest.raises((ConnectionError, BrokenPipeError, OSError)):
+        list(request_stream(sock_path, frames, depth=4))
+    assert time.time() - t0 < 20  # no indefinite hang
+
+
 def test_server_mesh_sharded_matches_single_device(rng):
     """A mesh-backed server (batch sharded over the 8-device CPU mesh)
     returns the same predictions as the single-device server."""

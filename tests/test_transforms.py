@@ -191,15 +191,39 @@ def test_resize_class_mirrors_reference_surface(rng):
 
 
 def test_resize_interp_identity_and_bytescale(rng):
-    """Same-size convolution resize is a copy (PIL skips both passes);
-    non-uint8 3-D input rides scipy toimage's bytescale normalization."""
+    """Same-size convolution resize is a copy (PIL skips both passes)
+    that must NOT alias the input; non-uint8 3-D input rides scipy
+    toimage's bytescale normalization."""
     rgb = (rng.rand(20, 30, 3) * 255).astype(np.uint8)
-    np.testing.assert_array_equal(T.resize(rgb, (20, 30), "lanczos"), rgb)
+    out = T.resize(rgb, (20, 30), "lanczos")
+    np.testing.assert_array_equal(out, rgb)
+    out[0, 0, 0] ^= 1  # in-place edit must not corrupt the source
+    assert rgb[0, 0, 0] != out[0, 0, 0]
+    dep = rng.rand(20, 30).astype(np.float32)
+    out_f = T.resize(dep, (20, 30), "bilinear", mode="F")
+    np.testing.assert_array_equal(out_f, dep)
+    assert out_f is not dep and out_f.base is not dep
     f3 = rng.rand(20, 30, 3).astype(np.float32) * 4 - 1
     scaled = T._bytescale(f3)
     np.testing.assert_array_equal(
         T.resize(f3, (10, 15), "bilinear"),
         pil_imresize_interp(scaled, (10, 15), "bilinear"))
+
+
+def test_resize_interp_2d_uint8_takes_pil_L_path(rng):
+    """scipy toimage routed 2-D uint8 through PIL mode 'L' — the
+    quantized fixed-point path returning uint8 (mode='F' only when the
+    caller asks, as the reference Resize does for depth)."""
+    g = (rng.rand(48, 64) * 255).astype(np.uint8)
+    for interp in INTERPS:
+        ref = np.array(Image.fromarray(g, mode="L").resize(
+            (24, 20), {"bilinear": Image.BILINEAR, "bicubic": Image.BICUBIC,
+                       "lanczos": Image.LANCZOS}[interp]))
+        got = T.resize(g, (20, 24), interp)
+        assert got.dtype == np.uint8
+        np.testing.assert_array_equal(ref, got, err_msg=interp)
+    # explicit mode='F' still forces the float path
+    assert T.resize(g, (20, 24), "bilinear", mode="F").dtype == np.float32
 
 
 def test_color_jitter_deterministic_and_valid(rng):
