@@ -342,6 +342,103 @@ def adjust_gamma(img: np.ndarray, gamma: float, gain: float = 1.0) -> np.ndarray
 
 
 # ---------------------------------------------------------------------------
+# Class surfaces mirroring the remaining reference transform objects
+# (reference transforms.py:195-622).  The framework's pipelines use the
+# fused functional/gather forms above; these thin wrappers keep the
+# reference's compositional API available 1:1 for library users.
+
+
+class ToTensor:
+    """Reference transforms.py:195-224 — float cast, NO /255.  The
+    reference transposes HWC->CHW for torch; the TPU-native layout is
+    channels-last, so the NHWC array form is the tensor here."""
+
+    def __call__(self, img: np.ndarray) -> np.ndarray:
+        if img.ndim not in (2, 3):
+            raise RuntimeError(
+                f"img should be ndarray with 2 or 3 dimensions. Got {img.ndim}")
+        return np.asarray(img, np.float32)
+
+
+class NormalizeNumpyArray:
+    """Reference transforms.py:227-256 (defined-but-unused in the NYU
+    pipeline there, same here)."""
+
+    def __init__(self, mean, std):
+        self.mean = mean
+        self.std = std
+
+    def __call__(self, img: np.ndarray) -> np.ndarray:
+        if img.ndim != 3:
+            raise RuntimeError(
+                f"img should be ndarray with 3 dimensions. Got {img.ndim}")
+        return normalize(img, self.mean, self.std)
+
+
+class NormalizeTensor(NormalizeNumpyArray):
+    """Reference transforms.py:258-286 — in the NHWC-array world the
+    tensor and ndarray forms coincide."""
+
+    def __call__(self, tensor: np.ndarray) -> np.ndarray:
+        return normalize(tensor, self.mean, self.std)
+
+
+class Rotate:
+    """Reference transforms.py:288-308."""
+
+    def __init__(self, angle: float):
+        self.angle = angle
+
+    def __call__(self, img: np.ndarray) -> np.ndarray:
+        return rotate(img, self.angle)
+
+
+class CenterCrop:
+    """Reference transforms.py:344-405 (banker's-rounded offsets)."""
+
+    def __init__(self, size):
+        self.size = tuple(size)
+
+    def __call__(self, img: np.ndarray) -> np.ndarray:
+        return center_crop(img, self.size)
+
+
+class BottomCrop:
+    """Reference transforms.py:407-468."""
+
+    def __init__(self, size):
+        self.size = tuple(size)
+
+    def __call__(self, img: np.ndarray) -> np.ndarray:
+        return bottom_crop(img, self.size)
+
+
+class HorizontalFlip:
+    """Reference transforms.py:485-510 — flip decision is drawn by the
+    caller (the reference draws it in the dataset too, nyu.py:30)."""
+
+    def __init__(self, do_flip: bool):
+        self.do_flip = do_flip
+
+    def __call__(self, img: np.ndarray) -> np.ndarray:
+        return horizontal_flip(img, self.do_flip)
+
+
+class Crop:
+    """Reference transforms.py:580-622 (explicit rectangle, with the
+    reference's bounds checks)."""
+
+    def __init__(self, i: int, j: int, h: int, w: int):
+        self.i, self.j, self.h, self.w = i, j, h, w
+
+    def __call__(self, img: np.ndarray) -> np.ndarray:
+        i, j, h, w = self.i, self.j, self.h, self.w
+        if not (0 <= i <= img.shape[0] - h and 0 <= j <= img.shape[1] - w):
+            raise ValueError(f"crop ({i},{j},{h},{w}) outside {img.shape}")
+        return crop(img, i, j, h, w)
+
+
+# ---------------------------------------------------------------------------
 # Color jitter (train-time only; reference transforms.py:513-578 applies
 # PIL ImageEnhance ops in random order with random factors).
 

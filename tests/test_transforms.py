@@ -273,6 +273,53 @@ def test_bottom_crop_and_crop(rng):
     np.testing.assert_array_equal(c, img[1:4, 2:6])
 
 
+def test_class_surfaces_mirror_reference(rng):
+    """Every reference transform object exists as a class with the same
+    __init__ signature and composes through Compose (reference
+    transforms.py:173-622); each must equal its functional form."""
+    img = (rng.rand(40, 50, 3) * 255).astype(np.uint8)
+    dep = (rng.rand(40, 50) * 10).astype(np.float32)
+
+    np.testing.assert_array_equal(T.ToTensor()(img),
+                                  np.asarray(img, np.float32))
+    np.testing.assert_array_equal(T.Rotate(-4.5)(dep), T.rotate(dep, -4.5))
+    np.testing.assert_array_equal(T.CenterCrop((20, 30))(img),
+                                  T.center_crop(img, (20, 30)))
+    np.testing.assert_array_equal(T.BottomCrop((20, 30))(img),
+                                  T.bottom_crop(img, (20, 30)))
+    np.testing.assert_array_equal(T.HorizontalFlip(True)(img),
+                                  T.horizontal_flip(img, True))
+    np.testing.assert_array_equal(T.Crop(2, 3, 10, 20)(img),
+                                  T.crop(img, 2, 3, 10, 20))
+    f = img.astype(np.float32)
+    np.testing.assert_allclose(
+        T.NormalizeNumpyArray([1, 2, 3], [4, 5, 6])(f),
+        T.normalize(f, [1, 2, 3], [4, 5, 6]))
+    np.testing.assert_allclose(
+        T.NormalizeTensor([1, 2, 3], [4, 5, 6])(f),
+        T.normalize(f, [1, 2, 3], [4, 5, 6]))
+
+    # the reference val chain, spelled with the class API, end to end
+    chain = T.Compose([
+        T.Resize(250.0 / 480.0),
+        T.CenterCrop((228, 304)),
+        T.Resize((224, 224)),
+        T.ToTensor(),
+    ])
+    big = (rng.rand(480, 640, 3) * 255).astype(np.uint8)
+    from fastdepth_tpu.data.pipeline import ValPipeline
+
+    np.testing.assert_array_equal(
+        chain(big), np.asarray(ValPipeline.create()(big), np.float32))
+
+    import pytest
+
+    with pytest.raises(ValueError, match="outside"):
+        T.Crop(35, 0, 10, 10)(img)
+    with pytest.raises(RuntimeError, match="2 or 3"):
+        T.ToTensor()(rng.rand(2, 2, 2, 2))
+
+
 def test_compose_lambda_normalize(rng):
     img = rng.rand(4, 4, 3).astype(np.float32)
     pipe = T.Compose([T.Lambda(lambda x: x * 2.0)])
