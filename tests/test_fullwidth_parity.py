@@ -61,6 +61,28 @@ def _torch_validate(tm, dataset):
 
 
 @pytest.mark.slow
+def test_fullwidth_opt_path_bit_exact():
+    """The serving default (head-commute, models/fused.apply_fastdepth_opt)
+    is bit-exact against the straight graph AT THE REAL PRUNED WIDTHS and
+    224x224 — the tiny-width exactness test can't see lane-boundary
+    effects at 56/120/256 channels."""
+    import jax
+    import jax.numpy as jnp
+
+    from fastdepth_tpu.models import build
+    from fastdepth_tpu.models.fused import apply_fastdepth_opt
+
+    cfg = FASTDEPTH_PRUNED
+    model = build(cfg)
+    params = model.fold(model.init(jax.random.PRNGKey(5)))
+    x = jnp.asarray(np.random.RandomState(6).rand(2, 224, 224, 3), jnp.float32)
+    ref = np.asarray(jax.jit(model.apply)(params, x))
+    got = np.asarray(jax.jit(
+        lambda p, a: apply_fastdepth_opt(p, a, cfg))(params, x))
+    assert np.array_equal(ref, got)
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("case", list(CASES))
 def test_fullwidth_e2e_matches_torch_oracle(case, nyu_val_root, tmp_path):
     from fastdepth_tpu.checkpoint.convert import convert_checkpoint
