@@ -113,6 +113,43 @@ def main():
         record(tag, batch, impls[impl], params, x,
                latency_too=(batch == 1))
 
+    # OPTIONAL training-throughput row (BASELINE config #5; the reference
+    # release has no train loop at all): bf16 mixed-precision full train
+    # step (fwd+bwd+SGD update+BN-stat merge) at b128 — compile rides the
+    # persistent cache shared with scripts/bench_train.py.
+    if __import__("time").time() - t_start <= budget_s:
+        import sys
+        import time as _t
+
+        print("# bench train_bf16_b128 ...", file=sys.stderr, flush=True)
+        try:
+            from fastdepth_tpu.config import TrainConfig
+            from fastdepth_tpu.engine.benchmark import sync
+            from fastdepth_tpu.train import Trainer
+
+            trainer = Trainer(model, model.init(jax.random.PRNGKey(0)),
+                              TrainConfig(lr=0.01), compute_dtype=jnp.bfloat16)
+            rgb_t = jnp.asarray(rng.rand(128, 224, 224, 3), jnp.float32)
+            dep_t = jnp.asarray(rng.rand(128, 224, 224, 1) * 5 + 0.5,
+                                jnp.float32)
+            lr = jnp.float32(0.01)
+            for _ in range(3):
+                trainer.state, loss = trainer._step(trainer.state, rgb_t, dep_t, lr)
+            sync(loss)
+            t0 = _t.time()
+            calls = 20
+            for _ in range(calls):
+                trainer.state, loss = trainer._step(trainer.state, rgb_t, dep_t, lr)
+            sync(loss)
+            tfps = 128 * calls / (_t.time() - t0)
+            results["train_bf16_b128_fps"] = round(tfps, 1)
+            print(f"#   train_bf16_b128: {tfps:.1f} train-fps",
+                  file=sys.stderr, flush=True)
+        except Exception as e:  # never let the train row sink the artifact
+            results["train_bf16_b128"] = f"error: {type(e).__name__}: {e}"[:120]
+    else:
+        results["skipped_train_bf16_b128"] = "over time budget"
+
     tx2_gpu_fps = 1000.0 / 5.6  # README.md:136
     if best_fps:
         results["best_us_per_frame"] = round(1e6 / best_fps, 2)

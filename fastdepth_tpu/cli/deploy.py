@@ -63,7 +63,13 @@ def main(argv=None):
 
     from fastdepth_tpu.cli.evaluate import load_params_and_model
     from fastdepth_tpu.engine.aot import compile_forward, flops_estimate
-    from fastdepth_tpu.engine.benchmark import time_fn, time_randomized
+    from fastdepth_tpu.engine.benchmark import (
+        setup_compile_cache,
+        time_fn,
+        time_randomized,
+    )
+
+    setup_compile_cache()
 
     print(f"=> loading model '{args.model}'")
     params, model, _ = load_params_and_model(args.model)

@@ -73,6 +73,11 @@ def load_params_and_model(path: str):
 def main(argv=None):
     args = parse_args(argv)
     assert os.path.isfile(args.evaluate), f"=> no model found at '{args.evaluate}'"
+    # persistent compile cache: on tunneled-TPU hosts the remote compile
+    # helper can take minutes per graph; a fresh process must not re-pay it
+    from fastdepth_tpu.engine.benchmark import setup_compile_cache
+
+    setup_compile_cache()
     print(f"=> loading model '{args.evaluate}'")
     params, model, meta = load_params_and_model(args.evaluate)
     print(f"=> loaded model (epoch {meta.get('epoch', 0)})")

@@ -33,6 +33,10 @@ def main(argv=None):
 
     import jax.numpy as jnp
 
+    from fastdepth_tpu.engine.benchmark import setup_compile_cache
+
+    setup_compile_cache()
+
     from fastdepth_tpu.cli.evaluate import load_params_and_model
     from fastdepth_tpu.data import BatchLoader, NYUDataset
     from fastdepth_tpu.engine import Evaluator, validate

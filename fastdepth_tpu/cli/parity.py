@@ -134,7 +134,10 @@ def main(argv=None) -> int:
     from fastdepth_tpu.cli.evaluate import load_params_and_model
     from fastdepth_tpu.data import BatchLoader, NYUDataset
     from fastdepth_tpu.engine import Evaluator, validate
+    from fastdepth_tpu.engine.benchmark import setup_compile_cache
     from fastdepth_tpu.metrics import METRIC_FIELDS
+
+    setup_compile_cache()
 
     print(f"=> loading '{args.evaluate}'")
     params, model, meta = load_params_and_model(args.evaluate)

@@ -108,7 +108,10 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from fastdepth_tpu.cli.evaluate import load_params_and_model
+    from fastdepth_tpu.engine.benchmark import setup_compile_cache
     from fastdepth_tpu.engine.server import InferenceServer, serve_unix_socket
+
+    setup_compile_cache()
 
     print(f"=> loading model '{args.evaluate}'")
     params, model, meta = load_params_and_model(args.evaluate)

@@ -40,6 +40,11 @@ def parse_args(argv=None):
     p.add_argument("--remat", action="store_true",
                    help="rematerialize the forward in backprop (jax.checkpoint): "
                         "trades FLOPs for activation memory at large batch/resolution")
+    p.add_argument("--bf16", action="store_true",
+                   help="mixed-precision training: bf16 forward/backward on "
+                        "the MXU, fp32 master weights/momentum/BN stats "
+                        "(no loss scaling needed — bf16 keeps fp32's "
+                        "exponent range)")
     p.add_argument("--output-dir", default="results")
     p.add_argument("--eval-batch-size", type=int, default=8)
     p.add_argument("--resume", default=None, metavar="PATH",
@@ -72,6 +77,10 @@ def main(argv=None):
 
     import jax
     import jax.numpy as jnp
+
+    from fastdepth_tpu.engine.benchmark import setup_compile_cache
+
+    setup_compile_cache()
 
     from fastdepth_tpu.checkpoint.io import (
         load_train_checkpoint,
@@ -128,7 +137,8 @@ def main(argv=None):
     print(f"=> {len(train_ds)} train / {len(val_ds)} val images")
 
     mesh = make_mesh(args.mesh_devices) if args.mesh_devices else None
-    trainer = Trainer(model, params, tc, mesh=mesh, remat=args.remat)
+    trainer = Trainer(model, params, tc, mesh=mesh, remat=args.remat,
+                      compute_dtype=jnp.bfloat16 if args.bf16 else None)
 
     os.makedirs(args.output_dir, exist_ok=True)
     train_csv = os.path.join(args.output_dir, "train.csv")

@@ -156,11 +156,21 @@ def batch_norm_train(
     x: Array, p: Params, *, eps: float = BN_EPS, momentum: float = 0.1
 ) -> Tuple[Array, Params]:
     """Training-mode BatchNorm over (N, H, W); returns output and updated
-    running stats (torch convention: new = (1-m)*old + m*batch)."""
-    mean = jnp.mean(x, axis=(0, 1, 2))
-    var = jnp.var(x, axis=(0, 1, 2))
-    inv = lax.rsqrt(var + eps) * p["scale"]
-    y = x * inv + (p["bias"] - mean * inv)
+    running stats (torch convention: new = (1-m)*old + m*batch).
+
+    Moments and normalization accumulate in AT LEAST fp32: under
+    mixed-precision training (bf16 activations) a bf16 mean/var over
+    N*H*W elements is far too coarse, and running stats must stay fp32
+    for the inference BN / fold path.  fp32 inputs are untouched
+    (bit-identical to the direct formula) and f64 inputs keep f64 (the
+    x64-mode mesh-equivalence proof relies on that).
+    """
+    acc = jnp.promote_types(x.dtype, jnp.float32)
+    x32 = x.astype(acc)
+    mean = jnp.mean(x32, axis=(0, 1, 2))
+    var = jnp.var(x32, axis=(0, 1, 2))
+    inv = lax.rsqrt(var + eps) * p["scale"].astype(acc)
+    y = (x32 * inv + (p["bias"].astype(acc) - mean * inv)).astype(x.dtype)
     n = x.shape[0] * x.shape[1] * x.shape[2]
     unbiased = var * n / max(n - 1, 1)
     # return ONLY the running-stat updates; scale/bias belong to the

@@ -51,6 +51,22 @@ def _is_weight(path: Tuple) -> bool:
     return leaf == "w" and parent != "bn"
 
 
+def _cast_compute(params, dtype):
+    """Cast conv/fc weights and biases to the compute dtype, leaving every
+    ``bn`` subtree in fp32 — BatchNorm statistics, scale and bias stay in
+    master precision (batch_norm_train computes its moments in fp32 and
+    the running-stat merge must not quantize the master copies)."""
+
+    def rec(node):
+        if isinstance(node, dict):
+            return {k: (v if k == "bn" else rec(v)) for k, v in node.items()}
+        if jnp.issubdtype(node.dtype, jnp.floating):
+            return node.astype(dtype)
+        return node
+
+    return rec(params)
+
+
 def make_train_step(
     model: Model,
     cfg: TrainConfig,
@@ -58,6 +74,7 @@ def make_train_step(
     *,
     remat: bool = False,
     skip_nonfinite: bool = True,
+    compute_dtype=None,
 ):
     """Returns step(state, rgb, depth, lr) -> (state, loss).
 
@@ -68,9 +85,19 @@ def make_train_step(
     overflow), the whole update is skipped — the failure-isolation story
     for long unattended runs (the reference has no failure handling,
     SURVEY.md §5).
+    ``compute_dtype``: mixed-precision training.  ``jnp.bfloat16`` runs
+    the forward and backward conv work in bf16 (MXU-native) while the
+    master weights, momentum buffers, optimizer math, BatchNorm moments
+    and running stats all stay fp32.  bf16 shares fp32's exponent range,
+    so no loss scaling is needed (unlike fp16 on GPUs).  The cast sits
+    inside the (possibly rematerialized) forward so recomputation under
+    ``remat`` also happens in bf16.
     """
 
     def _forward(params, rgb):
+        if compute_dtype is not None:
+            params = _cast_compute(params, compute_dtype)
+            rgb = rgb.astype(compute_dtype)
         stats: Dict = {}
         pred = model.apply(params, rgb, train=True, stats=stats)
         # stats leaves must flow OUT of the (possibly rematerialized)
@@ -81,7 +108,9 @@ def make_train_step(
 
     def loss_and_stats(params, rgb, depth):
         pred, stats = fwd(params, rgb)
-        return loss_fn(pred, depth), stats
+        # the loss itself is always fp32: depth targets are fp32 and the
+        # masked reduction must not accumulate in bf16
+        return loss_fn(pred.astype(jnp.float32), depth), stats
 
     def step(state: TrainState, rgb: Array, depth: Array, lr: Array):
         (loss, stats), grads = jax.value_and_grad(loss_and_stats, has_aux=True)(
@@ -164,12 +193,14 @@ class Trainer:
         mesh=None,
         loss_fn: Callable = masked_l1_loss,
         remat: bool = False,
+        compute_dtype=None,
     ):
         self.model = model
         self.cfg = cfg
         self.mesh = mesh
         self.state = sgd_init(params)
-        step = make_train_step(model, cfg, loss_fn, remat=remat)
+        step = make_train_step(model, cfg, loss_fn, remat=remat,
+                               compute_dtype=compute_dtype)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
