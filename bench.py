@@ -24,9 +24,10 @@ def main():
 
     # persistent compile cache: first-compile on the tunnel is minutes
     import os
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from fastdepth_tpu.engine.benchmark import setup_compile_cache
+
+    setup_compile_cache()
 
     import jax.numpy as jnp
 

@@ -354,6 +354,9 @@ class ToTensor:
     channels-last, so the NHWC array form is the tensor here."""
 
     def __call__(self, img: np.ndarray) -> np.ndarray:
+        if not isinstance(img, np.ndarray):
+            # reference type guard (transforms.py:210-211)
+            raise TypeError(f"img should be ndarray. Got {type(img)}")
         if img.ndim not in (2, 3):
             raise RuntimeError(
                 f"img should be ndarray with 2 or 3 dimensions. Got {img.ndim}")
@@ -394,20 +397,33 @@ class Rotate:
 
 
 class CenterCrop:
-    """Reference transforms.py:344-405 (banker's-rounded offsets)."""
+    """Reference transforms.py:344-405 (banker's-rounded offsets).
+    ``size``: sequence (h, w), or an int for a square crop
+    (reference :353-357)."""
 
     def __init__(self, size):
-        self.size = tuple(size)
+        import numbers
+
+        if isinstance(size, numbers.Number):
+            self.size = (int(size), int(size))
+        else:
+            self.size = tuple(size)
 
     def __call__(self, img: np.ndarray) -> np.ndarray:
         return center_crop(img, self.size)
 
 
 class BottomCrop:
-    """Reference transforms.py:407-468."""
+    """Reference transforms.py:407-468.  ``size``: sequence (h, w), or
+    an int for a square crop (reference :416-420)."""
 
     def __init__(self, size):
-        self.size = tuple(size)
+        import numbers
+
+        if isinstance(size, numbers.Number):
+            self.size = (int(size), int(size))
+        else:
+            self.size = tuple(size)
 
     def __call__(self, img: np.ndarray) -> np.ndarray:
         return bottom_crop(img, self.size)

@@ -307,17 +307,20 @@ def test_class_surfaces_mirror_reference(rng):
         T.ToTensor(),
     ])
     big = (rng.rand(480, 640, 3) * 255).astype(np.uint8)
-    from fastdepth_tpu.data.pipeline import ValPipeline
-
     np.testing.assert_array_equal(
         chain(big), np.asarray(ValPipeline.create()(big), np.float32))
-
-    import pytest
 
     with pytest.raises(ValueError, match="outside"):
         T.Crop(35, 0, 10, 10)(img)
     with pytest.raises(RuntimeError, match="2 or 3"):
         T.ToTensor()(rng.rand(2, 2, 2, 2))
+    with pytest.raises(TypeError, match="should be ndarray"):
+        T.ToTensor()([1, 2, 3])  # reference transforms.py:210-211
+    # int size = square crop (reference transforms.py:353-357, :416-420)
+    assert T.CenterCrop(8).size == (8, 8)
+    assert T.BottomCrop(8).size == (8, 8)
+    np.testing.assert_array_equal(
+        T.CenterCrop(8)(img), T.CenterCrop((8, 8))(img))
 
 
 def test_compose_lambda_normalize(rng):
