@@ -73,6 +73,14 @@ class ModelConfig:
     # ReLU6 in the encoder (reference imagenet/mobilenet.py:16-20),
     # plain ReLU in decoders (reference models.py:52-75).
     encoder_relu6: bool = True
+    # Beyond-reference extension: enable skip decoders on Bottleneck
+    # ResNets (50/101/152).  The reference's ResNetSkipAdd/Concat only
+    # ever worked on BasicBlock depths (models.py:462-652 hard-code the
+    # 64/128/256/512 tap widths); with this flag, additive skips gain
+    # 1x1+BN tap projections and concat skips compute decoder input
+    # widths from the actual tap channels.  Off by default so the zoo
+    # mirrors the reference's constraint exactly.
+    bottleneck_skips: bool = False
 
     @property
     def decoder_kernel(self) -> int:
@@ -102,17 +110,27 @@ class ModelConfig:
                     "mobilenet encoder needs stem + 13 block channels, got "
                     f"{len(self.encoder_channels)}"
                 )
+        if self.bottleneck_skips and not (
+            self.skip is not None
+            and self.encoder in ("resnet50", "resnet101", "resnet152")
+        ):
+            raise ValueError(
+                "bottleneck_skips only applies to resnet50/101/152 with "
+                f"skip='add'/'concat'; got encoder={self.encoder!r}, "
+                f"skip={self.skip!r}")
         if self.skip is not None and self.encoder in (
             "resnet50", "resnet101", "resnet152"
-        ):
+        ) and not self.bottleneck_skips:
             # Bottleneck tap widths (256/512/1024/2048) don't match the
             # skip decoder's channel plan; the reference's ResNetSkipAdd/
             # Concat have the same latent constraint (they were only ever
             # built on BasicBlock depths). Fail here instead of with a
-            # broadcast error inside jit tracing.
+            # broadcast error inside jit tracing; opt in to the projected
+            # extension with bottleneck_skips=True.
             raise ValueError(
                 f"skip decoders support BasicBlock ResNets (18/34) only; "
-                f"got {self.encoder!r} (Bottleneck tap widths don't match)")
+                f"got {self.encoder!r} (Bottleneck tap widths don't match; "
+                f"set bottleneck_skips=True for the projected extension)")
         if self.skip == "add" and self.encoder == "mobilenet":
             # Additive skips constrain decoder widths to encoder tap widths
             # (reference models.py:720-729; preserved by pruning, SURVEY.md §2).

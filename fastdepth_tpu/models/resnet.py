@@ -9,6 +9,10 @@ Torchvision topology reproduced exactly: conv1 7x7 s2 p3 -> BN -> ReLU ->
 maxpool 3x3 s2 p1 -> layer1..4 of BasicBlock (18/34) or Bottleneck
 (50/101/152); skip variants require BasicBlock widths (64/128/256/512) to
 line up with the dense 5x5 decoder, matching the reference's behavior.
+Beyond-reference: ``ModelConfig(bottleneck_skips=True)`` additionally
+enables skips on Bottleneck depths — additive skips via linear 1x1+BN tap
+projections, concat skips via decoder widths computed from the actual tap
+channels (the reference's classes crash on these depths).
 """
 
 from __future__ import annotations
@@ -133,6 +137,18 @@ def _encoder_out_channels(layers: int) -> int:
     return 2048 if layers in BOTTLENECK else 512
 
 
+def _tap_widths(layers: int) -> Tuple[int, ...]:
+    """(x1, x3, x4, x5, x6) skip-tap channel widths (reference
+    models.py:515-531 tap points; Bottleneck stages emit 4x)."""
+    mult = 4 if layers in BOTTLENECK else 1
+    return (64,) + tuple(w * mult for w in STAGE_WIDTHS)
+
+
+# Additive-skip decoder stage output widths (reference models.py:502-507)
+# paired with the tap each one receives, in forward order.
+_ADD_TAP_PLAN = (("x6", 512), ("x5", 256), ("x4", 128), ("x3", 64), ("x1", 64))
+
+
 def init_resnet_depth(key: jax.Array, cfg: ModelConfig) -> Dict:
     """ResNet / ResNetSkipAdd / ResNetSkipConcat parameter trees."""
     layers = int(cfg.encoder.replace("resnet", ""))
@@ -151,15 +167,34 @@ def init_resnet_depth(key: jax.Array, cfg: ModelConfig) -> Dict:
         return params
 
     # dense 5x5 decoder (models.py:502-507 / 598-603)
+    x1w, x3w, x4w, x5w, x6w = _tap_widths(layers)
     if cfg.skip == "add":
         specs = [(1024, 512), (512, 256), (256, 128), (128, 64), (64, 32)]
-    else:  # concat widths, models.py:598-602
-        specs = [(1024, 512), (768, 256), (384, 128), (192, 64), (128, 32)]
-    keys = jax.random.split(k_dec, 6)
+        # Bottleneck extension (cfg.bottleneck_skips): 1x1+BN linear
+        # projections onto the add widths for taps that don't already
+        # match.  BasicBlock taps match exactly -> no projections, the
+        # reference-parity tree is unchanged.
+        proj_specs = {
+            name: (tw, dw)
+            for (name, dw), tw in zip(_ADD_TAP_PLAN, (x6w, x5w, x4w, x3w, x1w))
+            if tw != dw
+        }
+    else:
+        # concat widths from the actual tap channels; BasicBlock taps
+        # reproduce the reference's 768/384/192/128 (models.py:598-602).
+        specs = [(1024, 512), (512 + x5w, 256), (256 + x4w, 128),
+                 (128 + x3w, 64), (64 + x1w, 32)]
+        proj_specs = {}
+    keys = jax.random.split(k_dec, 6 + len(proj_specs))
     decoder: Dict = {}
     for i, (cin, cout) in enumerate(specs, start=1):
         decoder[f"decode_conv{i}"] = {"conv": L.init_conv_bn(keys[i - 1], 5, cin, cout)}
     decoder["decode_conv6"] = {"pw": L.init_pointwise_bn(keys[5], 32, 1)}
+    if proj_specs:
+        decoder["skip_proj"] = {
+            name: L.init_pointwise_bn(k, tw, dw)
+            for k, (name, (tw, dw)) in zip(keys[6:], sorted(proj_specs.items()))
+        }
     params["decoder"] = decoder
     return params
 
@@ -194,16 +229,26 @@ def apply_resnet_depth(
 
     up = B.upsample_nearest2x
     if cfg.skip == "add":
+        proj = dec.get("skip_proj", {})
+
+        def tap(name, v):
+            # Bottleneck extension: linear 1x1+BN projection onto the add
+            # width (absent for BasicBlock nets — reference-parity path).
+            if name not in proj:
+                return v
+            return L.apply_conv_bn(v, proj[name], act=None, train=train,
+                                   stats=stats, path=("decoder", "skip_proj", name))
+
         # models.py:534-556
         y = dc(1, x7)
-        y = up(y + x6)
+        y = up(y + tap("x6", x6))
         y = dc(2, y)
-        y = up(y + x5)
+        y = up(y + tap("x5", x5))
         y = dc(3, y)
-        y = up(y + x4)
+        y = up(y + tap("x4", x4))
         y = dc(4, y)
-        y = up(y + x3)
-        y = dc(5, y + x1)   # add BEFORE conv at stage 5 (models.py:550)
+        y = up(y + tap("x3", x3))
+        y = dc(5, y + tap("x1", x1))   # add BEFORE conv at stage 5 (models.py:550)
         y = up(y)
         return dc(6, y)
     # concat: models.py:630-652

@@ -482,3 +482,77 @@ def test_bottleneck_resnet_skip_rejected():
     widths never matched — latent in the reference's classes too)."""
     with pytest.raises(ValueError, match="BasicBlock"):
         ModelConfig(encoder="resnet50", skip="add").validate()
+
+
+def _perturb_bn(tree, rs):
+    """Give every BN leaf nontrivial moments/affine so fold tests exercise
+    the real normalization math (jax-tree analogue of randomize_bn_stats)."""
+    if isinstance(tree, dict):
+        if set(tree) == {"scale", "bias", "mean", "var"}:
+            c = tree["mean"].shape[0]
+            return {
+                "scale": jnp.asarray(rs.rand(c).astype(np.float32) + 0.5),
+                "bias": jnp.asarray(rs.randn(c).astype(np.float32) * 0.1),
+                "mean": jnp.asarray(rs.randn(c).astype(np.float32) * 0.1),
+                "var": jnp.asarray(rs.rand(c).astype(np.float32) + 0.5),
+            }
+        return {k: _perturb_bn(v, rs) for k, v in tree.items()}
+    return tree
+
+
+@pytest.mark.parametrize("skip", ["add", "concat"])
+def test_bottleneck_skip_extension(skip):
+    """Beyond-reference: bottleneck_skips=True enables resnet50 skip models
+    (1x1+BN-projected adds / width-generalized concats).  Checks forward
+    shape, projection inventory, and folded==unfolded."""
+    cfg = ModelConfig(encoder="resnet50", skip=skip,
+                      bottleneck_skips=True).validate()
+    m = build(cfg)
+    rs = np.random.RandomState(7)
+    p = _perturb_bn(m.init(jax.random.PRNGKey(5)), rs)
+
+    dec = p["decoder"]
+    if skip == "add":
+        # x1 (64ch) already matches; the four bottleneck taps are projected
+        assert sorted(dec["skip_proj"]) == ["x3", "x4", "x5", "x6"]
+        assert dec["skip_proj"]["x6"]["w"].shape == (1, 1, 2048, 512)
+    else:
+        assert "skip_proj" not in dec
+        # concat widths follow the actual bottleneck tap channels
+        assert dec["decode_conv2"]["conv"]["w"].shape[2] == 512 + 1024
+
+    x = jnp.asarray(rs.randn(1, 64, 64, 3).astype(np.float32))
+    y = m.apply(p, x)
+    assert y.shape == (1, 64, 64, 1)
+    yf = m.apply(m.fold(p), x)
+    # outputs are O(1e4) at random init with perturbed BN -> relative tol
+    # (fp32 rounding compounds over the 50-layer encoder)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yf), rtol=1e-3)
+
+
+def test_bottleneck_skips_flag_misuse_rejected():
+    """The extension flag is meaningless off bottleneck-ResNet skip models."""
+    with pytest.raises(ValueError, match="bottleneck_skips"):
+        ModelConfig(encoder="resnet18", skip="add",
+                    bottleneck_skips=True).validate()
+    with pytest.raises(ValueError, match="bottleneck_skips"):
+        ModelConfig(encoder="mobilenet", skip="add",
+                    bottleneck_skips=True).validate()
+    with pytest.raises(ValueError, match="bottleneck_skips"):
+        ModelConfig(encoder="resnet50", skip=None,
+                    bottleneck_skips=True).validate()
+
+
+def test_basic_block_skip_tree_unchanged_by_extension_code():
+    """The BasicBlock (reference-parity) path must not grow projections:
+    its param tree is exactly the pre-extension layout."""
+    from fastdepth_tpu.models import resnet as RN
+
+    cfg = ModelConfig(encoder="resnet18", skip="add").validate()
+    p = RN.init_resnet_depth(jax.random.PRNGKey(0), cfg)
+    assert "skip_proj" not in p["decoder"]
+    cfgc = ModelConfig(encoder="resnet18", skip="concat").validate()
+    pc = RN.init_resnet_depth(jax.random.PRNGKey(0), cfgc)
+    # reference concat widths 768/384/192/128 (models.py:598-602)
+    assert [pc["decoder"][f"decode_conv{i}"]["conv"]["w"].shape[2]
+            for i in range(1, 6)] == [1024, 768, 384, 192, 128]
