@@ -20,11 +20,70 @@ import numpy as np
 
 
 def main():
+    import os
+
+    results = {}
+    best_fps = 0.0
+    best_cfg = None
+
+    # Emit-on-kill: an external `timeout` (SIGTERM) at ANY point — device
+    # init, a long compile, the optional train row — must still flush the
+    # rows measured so far as the one JSON line, otherwise the whole
+    # artifact is lost and the "headline first" ordering below is moot.
+    # Registered BEFORE any jax/device work so even an init-phase kill
+    # emits (with zero rows).
+    import signal
+    import sys as _sys
+
+    emitted = [False]
+
+    def emit(note=None):
+        if emitted[0]:
+            return
+        emitted[0] = True
+        if note:
+            results["aborted"] = note
+        tx2_gpu_fps = 1000.0 / 5.6  # README.md:136
+        if best_fps:
+            results["best_us_per_frame"] = round(1e6 / best_fps, 2)
+            # two denominators (docs/roofline.md): spec-peak conv-boundary
+            # aggregate 37.7 us/frame, and the round-3 MEASURED-ceiling
+            # composite (single-sourced from engine/roofline over the
+            # committed probe payload) — only meaningful when the
+            # head-commuted bf16 b128 config is the winner
+            if best_cfg == "bf16_opt_b128":
+                results["x_roofline_spec"] = round(1e6 / best_fps / 37.7, 2)
+                try:
+                    from fastdepth_tpu.config import FASTDEPTH_PRUNED
+                    from fastdepth_tpu.engine.roofline import measured_composite_us
+
+                    probe_path = os.path.join(os.path.dirname(
+                        os.path.abspath(__file__)), "docs", "probe_r3_hbm.json")
+                    with open(probe_path) as pf:
+                        composite = measured_composite_us(
+                            FASTDEPTH_PRUNED, json.load(pf))
+                    results["x_roofline_measured"] = round(
+                        1e6 / best_fps / composite, 2)
+                except (OSError, KeyError):
+                    pass  # probe payload absent: spec ratio still reported
+        print(json.dumps({
+            "metric": "224x224 NYUv2 frames/sec/chip",
+            "value": round(best_fps, 1),
+            "unit": "fps",
+            "vs_baseline": round(best_fps / tx2_gpu_fps, 2),
+            "best_config": best_cfg,
+            "detail": results,
+        }), flush=True)
+
+    def _on_sigterm(signum, frame):
+        emit(note=f"killed by signal {signum} mid-run; partial rows")
+        _sys.exit(124)
+
+    signal.signal(signal.SIGTERM, _on_sigterm)
+
     import jax
 
     # persistent compile cache: first-compile on the tunnel is minutes
-    import os
-
     from fastdepth_tpu.engine.benchmark import setup_compile_cache
 
     setup_compile_cache()
@@ -41,10 +100,6 @@ def main():
     model = fastdepth_pruned()
     params32 = model.fold(model.init(jax.random.PRNGKey(0)))
     rng = np.random.RandomState(0)
-
-    results = {}
-    best_fps = 0.0
-    best_cfg = None
 
     def record(tag, batch, fn, params, x, latency_too):
         nonlocal best_fps, best_cfg
@@ -151,37 +206,7 @@ def main():
     else:
         results["skipped_train_bf16_b128"] = "over time budget"
 
-    tx2_gpu_fps = 1000.0 / 5.6  # README.md:136
-    if best_fps:
-        results["best_us_per_frame"] = round(1e6 / best_fps, 2)
-        # two denominators (docs/roofline.md): spec-peak conv-boundary
-        # aggregate 37.7 us/frame, and the round-3 MEASURED-ceiling
-        # composite (single-sourced from engine/roofline over the
-        # committed probe payload) — only meaningful when the
-        # head-commuted bf16 b128 config is the winner
-        if best_cfg == "bf16_opt_b128":
-            results["x_roofline_spec"] = round(1e6 / best_fps / 37.7, 2)
-            try:
-                from fastdepth_tpu.config import FASTDEPTH_PRUNED
-                from fastdepth_tpu.engine.roofline import measured_composite_us
-
-                probe_path = os.path.join(os.path.dirname(
-                    os.path.abspath(__file__)), "docs", "probe_r3_hbm.json")
-                with open(probe_path) as pf:
-                    composite = measured_composite_us(
-                        FASTDEPTH_PRUNED, json.load(pf))
-                results["x_roofline_measured"] = round(
-                    1e6 / best_fps / composite, 2)
-            except (OSError, KeyError):
-                pass  # probe payload absent: spec ratio still reported
-    print(json.dumps({
-        "metric": "224x224 NYUv2 frames/sec/chip",
-        "value": round(best_fps, 1),
-        "unit": "fps",
-        "vs_baseline": round(best_fps / tx2_gpu_fps, 2),
-        "best_config": best_cfg,
-        "detail": results,
-    }))
+    emit()
 
 
 if __name__ == "__main__":

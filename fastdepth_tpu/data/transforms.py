@@ -351,7 +351,13 @@ def adjust_gamma(img: np.ndarray, gamma: float, gain: float = 1.0) -> np.ndarray
 class ToTensor:
     """Reference transforms.py:195-224 — float cast, NO /255.  The
     reference transposes HWC->CHW for torch; the TPU-native layout is
-    channels-last, so the NHWC array form is the tensor here."""
+    channels-last, so the NHWC array form is the tensor here.
+
+    Exactly like the reference, a 2-D input stays 2-D (H,W) — the
+    reference's dataloader unsqueezes depth to 1xHxW afterwards
+    (dataloader.py:104-109).  For a depth map that should come out
+    (H,W,1) directly, use :func:`to_nhwc_tensor` instead; the two
+    surfaces deliberately differ on 2-D inputs."""
 
     def __call__(self, img: np.ndarray) -> np.ndarray:
         if not isinstance(img, np.ndarray):

@@ -168,6 +168,14 @@ def init_resnet_depth(key: jax.Array, cfg: ModelConfig) -> Dict:
 
     # dense 5x5 decoder (models.py:502-507 / 598-603)
     x1w, x3w, x4w, x5w, x6w = _tap_widths(layers)
+    if layers in BOTTLENECK and not cfg.bottleneck_skips:
+        # Mechanism-level guard for direct callers that bypass
+        # ModelConfig.validate(): without the opt-in flag, Bottleneck
+        # skip trees must not silently grow the projected extension.
+        raise ValueError(
+            f"skip decoders support BasicBlock ResNets (18/34) only; "
+            f"got {cfg.encoder!r} (Bottleneck tap widths don't match; "
+            f"set bottleneck_skips=True for the projected extension)")
     if cfg.skip == "add":
         specs = [(1024, 512), (512, 256), (256, 128), (128, 64), (64, 32)]
         # Bottleneck extension (cfg.bottleneck_skips): 1x1+BN linear
