@@ -91,6 +91,19 @@ class BatchLoader:
         stop = threading.Event()
         errors: list = []
 
+        def put_or_stop(item) -> bool:
+            """Bounded put that never wedges the producer: if the consumer
+            abandoned the iterator (stop set) while the queue is full, a
+            bare q.put() would block this thread forever — leaking it, its
+            batch, and the executor for process lifetime."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 for idxs in batches:
@@ -103,13 +116,15 @@ class BatchLoader:
                             self.device_put(batch[1]),
                             batch[2],
                         )
-                    q.put(batch)
+                    if not put_or_stop(batch):
+                        return
             except BaseException as e:  # propagate to the consumer — a
                 errors.append(e)        # swallowed error would silently
             finally:                    # truncate the epoch
-                q.put(None)
+                put_or_stop(None)  # stop set ⇒ consumer gone, skip it
 
-        t = threading.Thread(target=producer, daemon=True)
+        t = threading.Thread(
+            target=producer, daemon=True, name="fdtpu-batch-producer")
         t.start()
         try:
             while True:

@@ -41,21 +41,11 @@ def _pick_apply(model: Model, params, impl: str, batch_size: int = 2):
     return model.apply
 
 
-def compile_forward(
-    model: Model,
-    params,
-    *,
-    batch_size: int = 1,
-    image_size: Tuple[int, int] = (224, 224),
-    dtype=jnp.float32,
-    fold_bn: bool = True,
-    donate: bool = False,
-    impl: str = "auto",
-):
-    """Returns (compiled_fn, params_prepared).  compiled_fn(params, rgb)
-    is an AOT-compiled executable for the fixed shape.  ``impl='auto'``
-    bakes in the head-commute fast path (bit-exact; models/fused.py)
-    when the architecture supports it."""
+def _prepare(model, params, *, batch_size, image_size, dtype, fold_bn, impl):
+    """Shared fold/cast/forward preamble for :func:`compile_forward` and
+    :func:`save_bundle` — ONE source, so the serialized bundle can never
+    drift from the executable the benchmark CLI times.  Returns
+    (params_prepared, forward, p_spec, x_spec)."""
     if fold_bn:
         params = model.fold(params)
     if dtype != jnp.float32:
@@ -72,6 +62,27 @@ def compile_forward(
     h, w = image_size
     x_spec = jax.ShapeDtypeStruct((batch_size, h, w, 3), jnp.float32)
     p_spec = jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params)
+    return params, forward, p_spec, x_spec
+
+
+def compile_forward(
+    model: Model,
+    params,
+    *,
+    batch_size: int = 1,
+    image_size: Tuple[int, int] = (224, 224),
+    dtype=jnp.float32,
+    fold_bn: bool = True,
+    donate: bool = False,
+    impl: str = "auto",
+):
+    """Returns (compiled_fn, params_prepared).  compiled_fn(params, rgb)
+    is an AOT-compiled executable for the fixed shape.  ``impl='auto'``
+    bakes in the head-commute fast path (bit-exact; models/fused.py)
+    when the architecture supports it."""
+    params, forward, p_spec, x_spec = _prepare(
+        model, params, batch_size=batch_size, image_size=image_size,
+        dtype=dtype, fold_bn=fold_bn, impl=impl)
     compiled = jax.jit(forward).lower(p_spec, x_spec).compile()
     return compiled, params
 
@@ -99,22 +110,9 @@ def save_bundle(
 
     from fastdepth_tpu.checkpoint.io import save_checkpoint
 
-    if fold_bn:
-        params = model.fold(params)
-    if dtype != jnp.float32:
-        params = jax.tree.map(
-            lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a,
-            params,
-        )
-
-    apply_fn = _pick_apply(model, params, impl, batch_size)
-
-    def forward(p, x):
-        return apply_fn(p, x.astype(dtype)).astype(jnp.float32)
-
-    h, w = image_size
-    x_spec = jax.ShapeDtypeStruct((batch_size, h, w, 3), jnp.float32)
-    p_spec = jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params)
+    params, forward, p_spec, x_spec = _prepare(
+        model, params, batch_size=batch_size, image_size=image_size,
+        dtype=dtype, fold_bn=fold_bn, impl=impl)
     exported = jexport.export(jax.jit(forward))(p_spec, x_spec)
     with open(path_prefix + ".stablehlo", "wb") as f:
         f.write(exported.serialize())

@@ -21,17 +21,30 @@ import numpy as np
 
 
 def _stage_shapes(cfg) -> List[Dict]:
-    """Decoder stage IO shapes for a FastDepth config at 224x224."""
+    """Decoder stage IO shapes for a FastDepth config at 224x224.
+
+    Skip semantics follow the real forward (models/fused.py:35,185-186):
+    stages 2/3/4 combine encoder taps x3/x2/x1 (= enc[5]/enc[3]/enc[1]
+    channels) after their upsample.  For skip='add' the tap width equals
+    the stage's cout (the add constraint) and channel flow is unchanged;
+    for skip='concat' the NEXT stage's cin widens to cout + tap — timing
+    the un-widened conv would measure a layer the model never runs."""
     enc = cfg.encoder_channels
     dec = cfg.decoder_channels
+    taps = {2: enc[5], 3: enc[3], 4: enc[1]}  # x3/x2/x1 tap widths
     h = 224 // 32
     shapes = []
     cin = enc[-1]
     for i, cout in enumerate(dec, start=1):
-        shapes.append({"stage": i, "h": h, "w": h, "cin": cin, "cout": cout,
-                       "skip": i in (2, 3, 4)})
+        has_skip = cfg.skip is not None and i in (2, 3, 4)
+        spec = {"stage": i, "h": h, "w": h, "cin": cin, "cout": cout,
+                "skip": has_skip}
+        if has_skip:
+            spec["skip_mode"] = cfg.skip
+            spec["tap"] = taps[i]
+        shapes.append(spec)
         h *= 2
-        cin = cout
+        cin = cout + (taps[i] if has_skip and cfg.skip == "concat" else 0)
     return shapes
 
 
@@ -130,37 +143,48 @@ def tune_decoder(
     records = []
     for spec in _stage_shapes(cfg):
         h, w, cin, cout = spec["h"], spec["w"], spec["cin"], spec["cout"]
+        concat = spec.get("skip_mode") == "concat"
         for dtype_name in dtypes:
             dtype = getattr(jnp, dtype_name)
             x = jnp.asarray(rng.rand(batch, h, w, cin), dtype)
-            skip = (jnp.asarray(rng.rand(batch, 2 * h, 2 * w, cout), dtype)
-                    if spec["skip"] and cfg.skip else None)
+            # the combined tensor is an add of a cout-wide tap, or a
+            # concat of a tap-wide one (fused.py:185-186 semantics)
+            skip = (jnp.asarray(
+                rng.rand(batch, 2 * h, 2 * w, spec["tap"]), dtype)
+                if spec["skip"] else None)
+
+            def combine(y, skip=skip, concat=concat):
+                if skip is None:
+                    return y
+                return jnp.concatenate([y, skip], axis=-1) if concat else y + skip
+
             if depthwise:
                 dw_w = jnp.asarray(rng.rand(k, k, 1, cin) * 0.1, dtype)
                 dw_b = jnp.asarray(rng.rand(cin) * 0.1, dtype)
                 pw_w = jnp.asarray(rng.rand(1, 1, cin, cout) * 0.1, dtype)
                 pw_b = jnp.asarray(rng.rand(cout) * 0.1, dtype)
 
-                def xla_path(x, skip=skip):
+                def xla_path(x, combine=combine):
                     y = B.relu(B.depthwise_conv2d(x, dw_w, bias=dw_b))
                     y = B.relu(B.conv2d(y, pw_w, bias=pw_b))
                     y = B.upsample_nearest2x(y)
-                    return y + skip if skip is not None else y
+                    return combine(y)
 
                 def pallas_path(x, skip=skip):
                     return fused_decoder_stage(x, dw_w, dw_b, pw_w, pw_b, skip)
 
                 impls = [("xla", xla_path)]
-                if with_pallas and k == 5:  # kernel is dw5x5-specific
+                # the fused kernel implements the add combine only
+                if with_pallas and k == 5 and not concat:
                     impls.append(("pallas", pallas_path))
             else:
                 c_w = jnp.asarray(rng.rand(k, k, cin, cout) * 0.1, dtype)
                 c_b = jnp.asarray(rng.rand(cout) * 0.1, dtype)
 
-                def xla_path(x, skip=skip):
+                def xla_path(x, combine=combine):
                     y = B.relu(B.conv2d(x, c_w, bias=c_b))
                     y = B.upsample_nearest2x(y)
-                    return y + skip if skip is not None else y
+                    return combine(y)
 
                 impls = [("xla", xla_path)]
 

@@ -74,32 +74,32 @@ class Evaluator:
             params = mesh_lib.put_replicated(params, mesh)
         self.params = params
 
-        from fastdepth_tpu.models import fused as F
+        from fastdepth_tpu.engine.aot import _pick_apply
 
-        # folded-ness read off the tree so pre-folded checkpoints
-        # (fold_bn=False) still get the fast path
-        folded = not F.tree_has_bn(params)
-        if impl == "opt" and not folded:
-            raise ValueError(
-                "impl='opt' requires BN-folded params ({'w','b'} leaves): "
-                "fold via Model.fold (or pass fold_bn=True)"
-            )
-        # b1 measured slower through the opt graph on v5e (docs/frontier.md)
-        use_opt = impl == "opt" or (
-            impl == "auto" and folded and batch_size > 1
-            and F.supports_opt(model.config)
-        )
-        apply_fn = (
-            (lambda p, x: F.apply_fastdepth_opt(p, x, model.config))
-            if use_opt else model.apply
-        )
+        # one policy source with the AOT/serving paths (impl='opt'
+        # folded-params check, b1-stays-straight rule; aot.py:21-41)
+        apply_fn = _pick_apply(model, params, impl, batch_size)
 
         gather = None
+        min_raw = None
         if val_pipeline is not None:
             gather = (jnp.asarray(val_pipeline.rows), jnp.asarray(val_pipeline.cols))
+            # smallest input the gather is valid for: under jit, out-of-
+            # range indices CLAMP instead of raising, so feeding already-
+            # preprocessed (e.g. 224x224) items would silently produce
+            # garbage metrics without this trace-time guard
+            min_raw = (int(np.max(val_pipeline.rows)) + 1,
+                       int(np.max(val_pipeline.cols)) + 1)
 
         def step(params, rgb, depth):
             if gather is not None:
+                if rgb.shape[1] < min_raw[0] or rgb.shape[2] < min_raw[1]:
+                    raise ValueError(
+                        f"val_pipeline gather needs raw frames of at least "
+                        f"{min_raw[0]}x{min_raw[1]} (rows/cols index that "
+                        f"far), got {rgb.shape[1]}x{rgb.shape[2]} — use "
+                        f"NYUDataset(raw_items=True), or drop val_pipeline "
+                        f"for preprocessed items")
                 rows, cols = gather
                 rgb = rgb[:, rows][:, :, cols]
                 depth = depth[:, rows][:, :, cols]
@@ -225,6 +225,10 @@ def validate(
             )
         end = time.time()
 
+    if seen == 0:
+        raise ValueError(
+            "validate(): the loader yielded no batches (empty split or "
+            "dataset) — nothing to average")
     avg = meter.average()
     log(
         "\n*\n"

@@ -64,19 +64,26 @@ def layer_bounds(cfg, image_size: int = 224) -> List[Tuple[str, int, int, int, i
         h, cin = ho, cout
 
     skips = {2, 3, 4} if cfg.skip else set()
+    # encoder tap widths combined after stages 2/3/4 (models/fused.py:35);
+    # for skip='add' tap == cout (the add constraint) so the byte count
+    # reduces to the old 2x factor; for 'concat' the tap is read at its
+    # own width and the NEXT stage's cin widens to cout + tap
+    taps = {2: enc[5], 3: enc[3], 4: enc[1]}
+    concat = cfg.skip == "concat"
     k2 = cfg.decoder_kernel * cfg.decoder_kernel
     for i, cout in enumerate(dec, start=1):
         dw_macs = h * h * cin * k2
         pw_macs = h * h * cin * cout
+        tap = taps[i] if i in skips else 0
         rows.append((
             f"dec.stage{i}",
             dw_macs + pw_macs,
             h * h * cin * 3 + h * h * cout
-            + (2 * h) ** 2 * cout * (2 if i in skips else 1),
+            + (2 * h) ** 2 * (cout + tap),
             pw_macs,
             k2 * h * h * _pad(cin),
         ))
-        h, cin = 2 * h, cout
+        h, cin = 2 * h, cout + (tap if concat else 0)
 
     head_macs = h * h * cin
     rows.append(("dec.head", head_macs, h * h * cin + h * h, head_macs, 0))
@@ -110,19 +117,21 @@ def measured_stage_bounds(cfg, probe: dict, image_size: int = 224):
 
     enc, dec = cfg.encoder_channels, cfg.decoder_channels
     skips = {2, 3, 4} if cfg.skip else set()
+    taps = {2: enc[5], 3: enc[3], 4: enc[1]}  # == cout for skip='add'
+    concat = cfg.skip == "concat"
     # spatial size entering each decoder stage (stride pattern fixes /32)
     h = image_size // 32
     cin = enc[13]
     out = {}
     for i, cout in enumerate(dec, start=1):
+        tap = taps[i] if i in skips else 0
         if i in dw_us:
             pw_b = (h * h * cin + h * h * cout) * 2
-            ups_b = (h * h * cout
-                     + (2 if i in skips else 1) * (2 * h) ** 2 * cout) * 2
+            ups_b = (h * h * cout + (2 * h) ** 2 * (cout + tap)) * 2
             pw_t = pw_b / pw_bps * 1e6
             ups_t = ups_b / (add_bps if i in skips else mul_bps) * 1e6
             out[i] = (dw_us[i] + pw_t + ups_t, dw_us[i], pw_t, ups_t)
-        h, cin = 2 * h, cout
+        h, cin = 2 * h, cout + (tap if concat else 0)
     return out
 
 

@@ -16,19 +16,28 @@ from __future__ import annotations
 
 import queue
 import threading
-from concurrent.futures import Future
+from concurrent.futures import Future, InvalidStateError
 from typing import Optional
 
 import numpy as np
 
 
 def _resolve_future(fut: Future, value=None, exc=None) -> None:
-    """Resolve a client future, immune to a racing ``cancel()``:
-    ``set_running_or_notify_cancel`` atomically claims the future (after
-    which cancel can no longer succeed) or reports it already cancelled —
-    a bare ``cancelled()`` check would TOCTOU-race and the resulting
-    InvalidStateError would kill the drainer thread."""
-    if not fut.set_running_or_notify_cancel():
+    """Resolve a client future, immune to a racing ``cancel()`` AND to a
+    second resolver: ``set_running_or_notify_cancel`` atomically claims
+    the future (after which cancel can no longer succeed) or reports it
+    already cancelled — a bare ``cancelled()`` check would TOCTOU-race.
+    If another thread already claimed/finished it (the submit-vs-close
+    race resolves the same future from both sides by design), the
+    InvalidStateError means the other side won; first resolution
+    sticks."""
+    try:
+        if not fut.set_running_or_notify_cancel():
+            return
+    except (RuntimeError, InvalidStateError):
+        # RuntimeError: already claimed (RUNNING) or FINISHED;
+        # InvalidStateError: resolved between our claim and set below.
+        # Either way the other resolver won.
         return
     if exc is not None:
         fut.set_exception(exc)
@@ -150,6 +159,14 @@ class InferenceServer:
             raise RuntimeError("server is closed")
         fut: Future = Future()
         self._q.put((rgb, fut))
+        if self._stop.is_set():
+            # close() may have raced between the check above and the put:
+            # its post-join drain might already be past our item, which
+            # would leave the future unresolved forever.  Resolve it as
+            # closed ourselves — _resolve_future is idempotent, so if the
+            # drain (or the drainer's last pass) got there first, the
+            # earlier resolution stands.
+            _resolve_future(fut, exc=RuntimeError("server is closed"))
         return fut
 
     def __call__(self, rgb: np.ndarray) -> np.ndarray:
@@ -291,7 +308,10 @@ def serve_unix_socket(
                 f"{sock_path} already has a live server — pick another "
                 "--socket path or stop the running daemon")
         except (ConnectionRefusedError, FileNotFoundError):
-            os.unlink(sock_path)  # stale leftover from a dead process
+            try:
+                os.unlink(sock_path)  # stale leftover from a dead process
+            except FileNotFoundError:
+                pass  # vanished between probe and unlink (owner cleanup)
         finally:
             probe.close()
     srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)

@@ -102,3 +102,24 @@ def test_cli_unknown_model_fails_fast(tmp_path):
     with pytest.raises(SystemExit) as e:
         frontier_main(["--models", "nope", "--out", str(tmp_path / "f")])
     assert "unknown model" in str(e.value)
+
+
+def test_stage_shapes_concat_widens_downstream_cin():
+    """skip='concat' widens the NEXT stage's input by the tap width
+    (models/fused.py:185-186) — timing the un-widened conv would measure
+    a layer the model never runs; skip='add' keeps the old channel flow."""
+    import dataclasses
+
+    cfg_cat = dataclasses.replace(
+        ModelConfig(encoder_channels=TINY_ENC, decoder_channels=TINY_DEC),
+        skip="concat")
+    shapes = _stage_shapes(cfg_cat)
+    taps = {2: TINY_ENC[5], 3: TINY_ENC[3], 4: TINY_ENC[1]}  # 14, 10, 6
+    # stage i+1 cin = stage i cout + tap_i for the skip stages
+    assert [s["cin"] for s in shapes] == [
+        24, 18, 14 + taps[2], 10 + taps[3], 6 + taps[4]]
+    assert [s.get("tap") for s in shapes] == [None, 14, 10, 6, None]
+    assert all(s.get("skip_mode") == "concat" for s in shapes if s["skip"])
+
+    cfg_none = dataclasses.replace(cfg_cat, skip=None)
+    assert all(not s["skip"] for s in _stage_shapes(cfg_none))

@@ -324,3 +324,31 @@ def test_measured_roofline_matches_committed_doc():
     assert m, "aggregate composite line missing from roofline.md"
     assert abs(measured_composite_us(FASTDEPTH_PRUNED, probe)
                - float(m.group(1))) < 0.05
+
+
+def test_roofline_concat_widens_downstream_bounds():
+    """layer_bounds under skip='concat' must account for the tap read at
+    its own width and the widened cin of every post-skip stage — the old
+    formula modeled concat as add (2x cout), undercounting both bytes and
+    MACs for concat models."""
+    import dataclasses
+
+    from fastdepth_tpu.config import FASTDEPTH_UNPRUNED
+    from fastdepth_tpu.engine.roofline import layer_bounds
+
+    cfg_add = FASTDEPTH_UNPRUNED
+    cfg_cat = dataclasses.replace(cfg_add, skip="concat")
+    rows_add = {r[0]: r for r in layer_bounds(cfg_add)}
+    rows_cat = {r[0]: r for r in layer_bounds(cfg_cat)}
+
+    # For the unpruned net tap == cout at every skip stage, so the skip
+    # stages' own byte counts agree between add and concat ...
+    for name in ("dec.stage2",):
+        assert rows_add[name][2] == rows_cat[name][2], name
+    # ... but every stage AFTER a concat reads a widened input: strictly
+    # more MACs and bytes than the add model at the same stage.  (dec.head
+    # follows stage 5, which has no skip — it stays identical.)
+    for name in ("dec.stage3", "dec.stage4", "dec.stage5"):
+        assert rows_cat[name][1] > rows_add[name][1], name  # MACs
+        assert rows_cat[name][2] > rows_add[name][2], name  # bytes
+    assert rows_cat["dec.head"][1] == rows_add["dec.head"][1]

@@ -158,3 +158,26 @@ def test_train_split_rejects_eval_only_flags(nyu_root):
     for kw in ({"raw_items": True}, {"device_normalize": True}):
         with pytest.raises(ValueError):
             NYUDataset(nyu_root, "train", **kw)
+
+
+def test_batch_loader_abandoned_iteration_releases_producer(nyu_root):
+    """Breaking out of iteration while the prefetch queue is full must not
+    wedge the producer thread in q.put forever (it would leak itself, its
+    batch, and the worker pool for process lifetime)."""
+    import threading
+    import time
+
+    def producers():
+        return [t for t in threading.enumerate()
+                if t.name == "fdtpu-batch-producer" and t.is_alive()]
+
+    ds = NYUDataset(nyu_root, "val")
+    loader = BatchLoader(ds, batch_size=1, num_workers=2, prefetch=1)
+    it = iter(loader)
+    next(it)
+    time.sleep(0.3)  # let the producer fill the 1-slot queue and block
+    it.close()       # consumer abandons the epoch (generator finally)
+    deadline = time.time() + 5
+    while producers() and time.time() < deadline:
+        time.sleep(0.05)
+    assert not producers(), "producer thread still alive after abandon"

@@ -207,3 +207,42 @@ def test_device_preprocess_matches_host_pipeline(nyu_val_root, torch_ckpt, tmp_p
     # train split must refuse raw_items (rotation is host-side by design)
     with pytest.raises(ValueError, match="rotation"):
         NYUDataset(nyu_val_root, split="train", raw_items=True)
+
+
+def test_val_pipeline_rejects_preprocessed_frames(nyu_val_root, torch_ckpt):
+    """The on-device gather clamps out-of-range indices under jit instead
+    of raising, so feeding already-preprocessed 224x224 items through a
+    val_pipeline Evaluator would silently produce garbage metrics — the
+    trace-time shape guard must reject them loudly."""
+    ckpt_path, _ = torch_ckpt
+    from fastdepth_tpu.checkpoint.convert import convert_checkpoint
+    from fastdepth_tpu.checkpoint.io import numpy_to_jax
+
+    params, cfg, _ = convert_checkpoint(ckpt_path)
+    ds_raw = NYUDataset(nyu_val_root, split="val", raw_items=True)
+    ev = Evaluator(build(cfg), numpy_to_jax(params), batch_size=2,
+                   val_pipeline=ds_raw.val_pipeline)
+    rgb = jnp.zeros((2, 224, 224, 3), jnp.float32)
+    depth = jnp.zeros((2, 224, 224, 1), jnp.float32)
+    with pytest.raises(ValueError, match="raw frames"):
+        ev(rgb, depth)
+
+
+def test_validate_empty_loader_raises(torch_ckpt):
+    """An empty split must fail loudly, not return a zero-count average
+    (the AverageMeter would divide by zero or report garbage)."""
+    ckpt_path, _ = torch_ckpt
+    from fastdepth_tpu.checkpoint.convert import convert_checkpoint
+    from fastdepth_tpu.checkpoint.io import numpy_to_jax
+
+    params, cfg, _ = convert_checkpoint(ckpt_path)
+    ev = Evaluator(build(cfg), numpy_to_jax(params), batch_size=2)
+
+    class _EmptyLoader:
+        dataset = ()
+
+        def __iter__(self):
+            return iter(())
+
+    with pytest.raises(ValueError, match="no batches"):
+        validate(_EmptyLoader(), ev, make_images=False, log=lambda *a: None)

@@ -458,3 +458,48 @@ def test_server_mesh_sharded_matches_single_device(rng):
     with pytest.raises(ValueError, match="divide"):
         InferenceServer(model, params, batch_size=6, image_size=(HW, HW),
                         mesh=mesh)
+
+
+def test_resolve_future_idempotent():
+    """_resolve_future must survive a second resolver (the submit-vs-close
+    race resolves the same future from both sides by design): the first
+    resolution sticks, the loser is a no-op, nothing raises."""
+    from concurrent.futures import Future
+
+    from fastdepth_tpu.engine.server import _resolve_future
+
+    f = Future()
+    _resolve_future(f, value=1)
+    _resolve_future(f, exc=RuntimeError("late loser"))  # must not raise
+    assert f.result(timeout=1) == 1
+
+    f2 = Future()
+    f2.cancel()
+    _resolve_future(f2, value=2)  # cancelled future: silent no-op
+    assert f2.cancelled()
+
+
+def test_submit_vs_close_race_never_leaves_future_unresolved(rng):
+    """If close() lands between submit()'s closed-check and its queue put,
+    the drain may already be past the item — the future must still resolve
+    (with a result or a 'server is closed' error), never hang."""
+    from concurrent.futures import wait
+
+    model, params = _model_and_params()
+    srv = InferenceServer(model, params, batch_size=2, image_size=(HW, HW))
+    frame = rng.rand(HW, HW, 3).astype(np.float32)
+
+    orig_put = srv._q.put
+
+    def racing_put(item, *a, **kw):
+        srv._stop.set()  # simulate close() winning the race post-check
+        orig_put(item, *a, **kw)
+
+    srv._q.put = racing_put
+    fut = srv.submit(frame)
+    srv._q.put = orig_put
+    done, _ = wait([fut], timeout=10)
+    assert fut in done, "future left unresolved by the submit/close race"
+    if fut.exception() is not None:
+        assert "closed" in str(fut.exception())
+    srv.close()
