@@ -9,7 +9,7 @@ pickle (converted on the fly via checkpoint/convert.py — unpickling a
 full-module checkpoint executes code, so pass TRUSTED .pth files only;
 the reference format leaves no safe alternative).  TPU-native
 extras over the reference CLI: --batch-size, --bf16, --mesh-devices,
---no-fold-bn.
+--mesh-spatial, --no-fold-bn.
 """
 
 from __future__ import annotations
@@ -37,6 +37,11 @@ def parse_args(argv=None):
     p.add_argument("--bf16", action="store_true", help="run the model in bfloat16")
     p.add_argument("--mesh-devices", default=None, type=int,
                    help="shard batches over this many devices (default: no mesh)")
+    p.add_argument("--mesh-spatial", default=None, type=int, metavar="S",
+                   help="additionally shard image HEIGHT S-way (spatial "
+                        "partitioning: XLA exchanges conv halos over ICI; "
+                        "total devices = mesh-devices x S; forward-exact, "
+                        "see parallel/mesh.py)")
     p.add_argument("--no-fold-bn", action="store_true",
                    help="keep BatchNorm unfolded (exact reference numerics)")
     p.add_argument("--impl", default="auto", choices=["auto", "xla", "opt"],
@@ -97,7 +102,14 @@ def main(argv=None):
     )
     print("=> data loaders created.")
 
-    mesh = make_mesh(args.mesh_devices) if args.mesh_devices else None
+    if args.mesh_spatial:
+        from fastdepth_tpu.parallel import make_mesh_2d
+
+        mesh = make_mesh_2d(args.mesh_devices or 1, args.mesh_spatial)
+    elif args.mesh_devices:
+        mesh = make_mesh(args.mesh_devices)
+    else:
+        mesh = None
     evaluator = Evaluator(
         model, params,
         batch_size=args.batch_size,

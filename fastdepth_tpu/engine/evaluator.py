@@ -119,11 +119,14 @@ class Evaluator:
             return pred, stacked
 
         if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            from jax.sharding import NamedSharding
 
-            data = NamedSharding(mesh, P("data"))
-            repl = NamedSharding(mesh, P())
-            metrics_sh = NamedSharding(mesh, P(None, "data"))
+            # policy-driven: batch over 'data', image height over 'space'
+            # (spatial partitioning — XLA inserts the conv halo
+            # exchanges); metric sums close over 'space' automatically
+            data = mesh_lib.shard_activations(mesh)
+            repl = mesh_lib.replicate(mesh)
+            metrics_sh = NamedSharding(mesh, mesh_lib.metrics_spec(mesh))
             self._step = jax.jit(
                 step,
                 in_shardings=(repl, data, data),

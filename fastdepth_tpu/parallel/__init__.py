@@ -1,1 +1,7 @@
-from fastdepth_tpu.parallel.mesh import make_mesh, shard_batch, replicate  # noqa: F401
+from fastdepth_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    make_mesh_2d,
+    replicate,
+    shard_activations,
+    shard_batch,
+)

@@ -1,10 +1,28 @@
-"""Device-mesh utilities.
+"""Device-mesh utilities — the single place mesh/sharding policy lives.
 
 The reference has no distributed machinery at all (SURVEY.md §2
-'Parallelism'); the TPU-native scaling axis for this CNN workload is the
-batch: data parallelism over a 1-D ``jax.sharding.Mesh``, with XLA
-emitting the ICI collectives (psum for gradient/metric reductions).
-These helpers are the single place mesh/sharding policy lives.
+'Parallelism'); the TPU-native scaling axes for this CNN workload are
+
+* ``data``  — batch dimension (data parallelism): gradients/metrics
+  reduce via XLA psum over ICI,
+* ``space`` — image-height dimension (spatial partitioning): XLA's SPMD
+  partitioner inserts collective-permute halo exchanges around every
+  conv window that crosses a shard boundary.  This is the axis that
+  cuts single-image latency on a pod: a CNN has no sequence/attention
+  dimension to tensor-shard, but its H axis divides cleanly and convs
+  only need (k-1)/2 rows of halo.
+
+  ``space`` is an INFERENCE/EVAL axis only.  The forward is exact under
+  it (bit-identical at full width, tests/test_spatial.py), but
+  grad-of-depthwise-conv is wrong under SPMD spatial partitioning at
+  degenerate shard extents (measured in f64:
+  docs/probe_r3_sp_grad.json), so the Trainer rejects meshes carrying
+  this axis.
+
+Meshes are 1-D ``('data',)`` (the default), 1-D ``('space',)`` (pure
+latency sharding at batch 1), or 2-D ``('data', 'space')``.  Everything
+downstream derives its NHWC PartitionSpec from the mesh's axis names via
+``activation_spec`` — no other module hardcodes axis layouts.
 """
 
 from __future__ import annotations
@@ -15,30 +33,81 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+DATA_AXIS = "data"
+SPACE_AXIS = "space"
+
 
 def make_mesh(
     num_devices: Optional[int] = None,
-    axis_name: str = "data",
+    axis_name: str = DATA_AXIS,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
+    """1-D mesh over the first ``num_devices`` devices."""
     devs = list(devices) if devices is not None else jax.devices()
     if num_devices is not None:
         devs = devs[:num_devices]
     return Mesh(np.array(devs), (axis_name,))
 
 
-def shard_batch(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
-    """Batch-dim sharding for NHWC activations."""
-    return NamedSharding(mesh, P(axis_name))
+def make_mesh_2d(
+    n_data: int,
+    n_space: int,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """2-D ``(data, space)`` mesh: batch sharded ``n_data``-way, image
+    height ``n_space``-way.  ``space`` is the minor (fast) mesh axis so
+    halo exchanges ride neighbouring ICI links."""
+    devs = list(devices) if devices is not None else jax.devices()
+    need = n_data * n_space
+    if len(devs) < need:
+        raise ValueError(f"need {need} devices for a {n_data}x{n_space} mesh, "
+                         f"have {len(devs)}")
+    return Mesh(
+        np.array(devs[:need]).reshape(n_data, n_space),
+        (DATA_AXIS, SPACE_AXIS),
+    )
+
+
+def activation_spec(mesh: Mesh) -> P:
+    """NHWC activation PartitionSpec implied by the mesh's axis names:
+    batch over ``data`` (if present), height over ``space`` (if
+    present)."""
+    batch_ax = DATA_AXIS if DATA_AXIS in mesh.axis_names else None
+    space_ax = SPACE_AXIS if SPACE_AXIS in mesh.axis_names else None
+    return P(batch_ax, space_ax)
+
+
+def metrics_spec(mesh: Mesh) -> P:
+    """(num_fields, N) per-image metric stack: fields replicated, images
+    over ``data``.  With a ``space`` axis present the spec leaves it
+    unmentioned — the SPMD partitioner closes the per-image spatial sums
+    with an all-reduce over ``space`` automatically."""
+    batch_ax = DATA_AXIS if DATA_AXIS in mesh.axis_names else None
+    return P(None, batch_ax)
+
+
+def shard_activations(mesh: Mesh) -> NamedSharding:
+    """Sharding for NHWC activations per the mesh policy."""
+    return NamedSharding(mesh, activation_spec(mesh))
+
+
+def shard_batch(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
+    """Batch-dim-only sharding for NHWC activations (1-D mesh helper;
+    for policy-driven placement on any mesh use ``shard_activations``)."""
+    return NamedSharding(mesh, P(axis_name if axis_name in mesh.axis_names else None))
 
 
 def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def put_sharded(batch, mesh: Mesh, axis_name: str = "data"):
-    """Host batch -> device(s), split along dim 0."""
-    return jax.device_put(batch, shard_batch(mesh, axis_name))
+def put_sharded(batch, mesh: Mesh, axis_name: Optional[str] = None):
+    """Host batch -> device(s) per the mesh policy (batch over ``data``,
+    height over ``space``).  ``axis_name`` forces batch-only sharding on
+    that axis (back-compat for 1-D call sites)."""
+    if axis_name is not None:
+        return jax.device_put(batch, shard_batch(mesh, axis_name))
+    return jax.device_put(batch, shard_activations(mesh))
 
 
 def put_replicated(tree, mesh: Mesh):

@@ -204,8 +204,23 @@ class Trainer:
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            from fastdepth_tpu.parallel.mesh import SPACE_AXIS, shard_activations
+
+            if SPACE_AXIS in mesh.axis_names:
+                # grad-of-dw-conv is WRONG under SPMD spatial partitioning
+                # at degenerate extents, and the trigger depends on
+                # partitioner strategy choices (measured in f64:
+                # docs/probe_r3_sp_grad.json, up to 2.2 abs divergence).
+                # 'space' is an inference/eval axis; training scales over
+                # the batch.
+                raise ValueError(
+                    "training does not support a 'space' mesh axis: "
+                    "depthwise-conv weight gradients diverge under SPMD "
+                    "spatial partitioning (docs/probe_r3_sp_grad.json). "
+                    "Use a 1-D 'data' mesh for training; 'space' is for "
+                    "inference/eval (Evaluator, serving).")
             repl = NamedSharding(mesh, P())
-            data = NamedSharding(mesh, P("data"))
+            data = shard_activations(mesh)
             state_sh = jax.tree.map(lambda _: repl, self.state,
                                     is_leaf=lambda x: isinstance(x, jax.Array))
             self._step = jax.jit(

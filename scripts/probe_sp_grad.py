@@ -1,0 +1,107 @@
+"""Probe: is grad-of-forward correct under SPMD spatial partitioning?
+
+Answer on this stack (CPU SPMD partitioner, same GSPMD passes as TPU):
+NO at degenerate extents — depthwise-conv WEIGHT gradients diverge (up
+to ~2.2 absolute in f64) whenever deep stages' spatial extent per shard
+drops below the conv halo, and the trigger depends on partitioner
+strategy choices, so it cannot be statically validated away.  The
+forward pass is bit-exact at full width under the same shardings (84
+collective-permute halo exchanges, tests/test_spatial.py).
+
+Consequence (enforced in train/trainer.py): the 'space' mesh axis is an
+INFERENCE/EVAL axis; training rejects meshes that carry it.  DP covers
+training throughput (the workload's scaling axis is the batch,
+SURVEY.md §2 'Parallelism').
+
+Writes docs/probe_r3_sp_grad.json.  Run:
+  JAX_ENABLE_X64=1 python scripts/probe_sp_grad.py
+"""
+
+import json
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
+
+from fastdepth_tpu.config import ModelConfig  # noqa: E402
+from fastdepth_tpu.models import build  # noqa: E402
+from fastdepth_tpu.parallel import make_mesh_2d, shard_activations  # noqa: E402
+from fastdepth_tpu.parallel.mesh import put_sharded  # noqa: E402
+from fastdepth_tpu.train.loss import masked_l1_loss  # noqa: E402
+
+ENC = (4, 6, 8, 10, 12, 14, 16, 16, 16, 16, 16, 16, 20, 24)
+DEC = (18, 14, 10, 6, 4)
+
+
+def main():
+    model = build(ModelConfig(encoder_channels=ENC, decoder_channels=DEC))
+    params = jax.tree.map(
+        lambda a: a.astype(jnp.float64), model.init(jax.random.PRNGKey(1))
+    )
+    rng = np.random.RandomState(0)
+
+    def loss_fn(p, rgb, depth):
+        return masked_l1_loss(model.apply(p, rgb, train=True, stats={}), depth)
+
+    rows = []
+    for h, n_data, n_space in [(32, 2, 4), (64, 4, 2), (64, 2, 4), (128, 2, 4)]:
+        rgb = jnp.asarray(rng.rand(8, h, h, 3), jnp.float64)
+        depth = jnp.asarray(rng.rand(8, h, h, 1) * 5 + 0.5, jnp.float64)
+        g1 = jax.jit(jax.grad(loss_fn))(params, rgb, depth)
+
+        mesh = make_mesh_2d(n_data, n_space)
+        repl = NamedSharding(mesh, P())
+        data = shard_activations(mesh)
+        g2 = jax.jit(
+            jax.grad(loss_fn),
+            in_shardings=(jax.tree.map(lambda _: repl, params), data, data),
+        )(jax.device_put(params, repl), put_sharded(rgb, mesh),
+          put_sharded(depth, mesh))
+
+        flat1, _ = jax.tree_util.tree_flatten_with_path(g1)
+        flat2 = jax.tree_util.tree_leaves(g2)
+        bad = {}
+        worst = 0.0
+        for (path, a), b in zip(flat1, flat2):
+            d = float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+            worst = max(worst, d)
+            if d > 1e-9:
+                bad[jax.tree_util.keystr(path)] = d
+        rows.append({
+            "input_h": h, "mesh": [n_data, n_space],
+            "worst_abs_grad_diff_f64": worst,
+            "divergent_leaves": bad,
+        })
+        print(f"H={h} mesh=({n_data},{n_space}) worst {worst:.3e} "
+              f"({len(bad)} divergent leaves)")
+
+    out = {
+        "what": "f64 grad diff, single-device vs (data,space)-sharded SPMD, "
+                "tiny-width FastDepth, train-mode forward + masked L1",
+        "conclusion": "dw-conv weight grads diverge at degenerate "
+                      "spatial extents; trigger depends on partitioner "
+                      "strategy; 'space' axis is inference/eval-only",
+        "rows": rows,
+    }
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "docs", "probe_r3_sp_grad.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()

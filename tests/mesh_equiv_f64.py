@@ -1,7 +1,12 @@
 """Subprocess helper (run with JAX_ENABLE_X64=1): proves the data-parallel
 gradient over an 8-device mesh equals the single-device batch gradient in
 float64 — i.e. the SPMD program is semantically identical and f32 deltas
-seen in-process are summation-order noise only."""
+seen in-process are summation-order noise only.
+
+(The 2-D (data, space) mesh is deliberately NOT proven here: dw-conv
+weight grads diverge under SPMD spatial partitioning at degenerate
+extents — docs/probe_r3_sp_grad.json — so the trainer rejects 'space'
+meshes outright; spatial partitioning is an inference/eval axis.)"""
 
 import os
 import sys

@@ -246,3 +246,26 @@ def test_validate_empty_loader_raises(torch_ckpt):
 
     with pytest.raises(ValueError, match="no batches"):
         validate(_EmptyLoader(), ev, make_images=False, log=lambda *a: None)
+
+
+def test_cli_mesh_spatial_matches_plain(nyu_val_root, torch_ckpt, tmp_path):
+    """--mesh-spatial S shards image height over a (data, space) mesh;
+    final metrics match the meshless run (spatial partitioning is
+    forward-exact — tests/test_spatial.py proves the mechanism, this
+    proves the CLI surface end to end)."""
+    ckpt_path, _ = torch_ckpt
+    from fastdepth_tpu.cli import evaluate as cli
+
+    link = tmp_path / "nyudepthv2"
+    os.symlink(os.path.dirname(nyu_val_root), link)
+    args = [
+        "--evaluate", ckpt_path,
+        "--data-root", str(tmp_path),
+        "--batch-size", "2",
+        "--print-freq", "0",
+        "--no-images",
+    ]
+    plain = cli.main(args)
+    spatial = cli.main(args + ["--mesh-devices", "2", "--mesh-spatial", "4"])
+    np.testing.assert_allclose(spatial.rmse, plain.rmse, rtol=1e-5)
+    np.testing.assert_allclose(spatial.delta1, plain.delta1, rtol=1e-5)
