@@ -77,6 +77,19 @@ def load_params_and_model(path: str):
 
 def main(argv=None):
     args = parse_args(argv)
+    # validate mesh arguments before any device/data work: a non-divisor
+    # would otherwise surface as a low-level sharding error on batch 1
+    if args.mesh_devices and args.batch_size % args.mesh_devices:
+        raise SystemExit(
+            f"--batch-size {args.batch_size} must divide by "
+            f"--mesh-devices {args.mesh_devices}")
+    if args.mesh_spatial:
+        from fastdepth_tpu.data.nyu import OUTPUT_SIZE
+
+        if OUTPUT_SIZE[0] % args.mesh_spatial:
+            raise SystemExit(
+                f"--mesh-spatial {args.mesh_spatial} must divide the "
+                f"{OUTPUT_SIZE[0]}-row image height")
     assert os.path.isfile(args.evaluate), f"=> no model found at '{args.evaluate}'"
     # persistent compile cache: on tunneled-TPU hosts the remote compile
     # helper can take minutes per graph; a fresh process must not re-pay it

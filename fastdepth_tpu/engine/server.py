@@ -76,10 +76,11 @@ class InferenceServer:
         traffic, identical math to the host path (the Evaluator's
         --device-normalize design).  ``output_dtype=np.float16`` halves
         the prediction payload (cast on device, so the link carries
-        2 bytes/px; ~1 cm quantization at 10 m depth).  ``mesh``: a 1-D
-        data-parallel ``jax.sharding.Mesh`` — params replicate, each
-        packed batch shards over the devices (multi-chip serving;
-        batch_size must divide by the mesh size)."""
+        2 bytes/px; ~1 cm quantization at 10 m depth).  ``mesh``: a
+        ``jax.sharding.Mesh`` — params replicate and each packed batch
+        shards per the mesh policy (parallel/mesh.py): batch over a
+        'data' axis (batch_size must divide by its size), image height
+        over a 'space' axis (image height must divide by its size)."""
         import jax
         import jax.numpy as jnp
 
@@ -98,11 +99,16 @@ class InferenceServer:
         if mesh is not None:
             from fastdepth_tpu.parallel import mesh as mesh_lib
 
-            n_dev = mesh.devices.size
-            if batch_size % n_dev:
+            n_data = mesh.shape.get(mesh_lib.DATA_AXIS, 1)
+            if batch_size % n_data:
                 raise ValueError(
-                    f"batch_size {batch_size} must divide by the "
-                    f"{n_dev}-device mesh")
+                    f"batch_size {batch_size} must divide by the mesh's "
+                    f"{n_data}-way '{mesh_lib.DATA_AXIS}' axis")
+            n_space = mesh.shape.get(mesh_lib.SPACE_AXIS, 1)
+            if image_size[0] % n_space:
+                raise ValueError(
+                    f"image height {image_size[0]} must divide by the "
+                    f"mesh's {n_space}-way '{mesh_lib.SPACE_AXIS}' axis")
             self.params = mesh_lib.put_replicated(params, mesh)
         else:
             self.params = jax.device_put(params)
@@ -122,13 +128,13 @@ class InferenceServer:
             return apply_fn(p, x).astype(out_jdt)
 
         if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            from fastdepth_tpu.parallel import mesh as mesh_lib
 
+            act = mesh_lib.shard_activations(mesh)
             self._fn = jax.jit(
                 forward,
-                in_shardings=(NamedSharding(mesh, P()),
-                              NamedSharding(mesh, P("data"))),
-                out_shardings=NamedSharding(mesh, P("data")),
+                in_shardings=(mesh_lib.replicate(mesh), act),
+                out_shardings=act,
             )
         else:
             self._fn = jax.jit(forward)

@@ -71,9 +71,15 @@ def make_mesh_2d(
 def activation_spec(mesh: Mesh) -> P:
     """NHWC activation PartitionSpec implied by the mesh's axis names:
     batch over ``data`` (if present), height over ``space`` (if
-    present)."""
+    present).  A mesh carrying neither axis is a misconfiguration (it
+    would silently replicate all work to every device), so it raises."""
     batch_ax = DATA_AXIS if DATA_AXIS in mesh.axis_names else None
     space_ax = SPACE_AXIS if SPACE_AXIS in mesh.axis_names else None
+    if batch_ax is None and space_ax is None:
+        raise ValueError(
+            f"mesh axes {mesh.axis_names} carry neither "
+            f"'{DATA_AXIS}' nor '{SPACE_AXIS}'; sharding would silently "
+            f"replicate every activation (use make_mesh / make_mesh_2d)")
     return P(batch_ax, space_ax)
 
 
@@ -93,8 +99,10 @@ def shard_activations(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
     """Batch-dim-only sharding for NHWC activations (1-D mesh helper;
-    for policy-driven placement on any mesh use ``shard_activations``)."""
-    return NamedSharding(mesh, P(axis_name if axis_name in mesh.axis_names else None))
+    for policy-driven placement on any mesh use ``shard_activations``).
+    Raises if ``axis_name`` is not a mesh axis — a missing axis means a
+    misconfigured mesh, not a request for replication."""
+    return NamedSharding(mesh, P(axis_name))
 
 
 def replicate(mesh: Mesh) -> NamedSharding:

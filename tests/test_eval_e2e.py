@@ -248,6 +248,22 @@ def test_validate_empty_loader_raises(torch_ckpt):
         validate(_EmptyLoader(), ev, make_images=False, log=lambda *a: None)
 
 
+def test_cli_mesh_args_validated_upfront(torch_ckpt, tmp_path):
+    """Bad mesh arguments must fail with a clear message before any
+    device work, not with a low-level sharding error on the first
+    batch: --mesh-spatial must divide the 224-row image height and
+    --batch-size must divide by --mesh-devices."""
+    ckpt_path, _ = torch_ckpt
+    from fastdepth_tpu.cli import evaluate as cli
+
+    base = ["--evaluate", ckpt_path, "--data-root", str(tmp_path),
+            "--no-images", "--print-freq", "0"]
+    with pytest.raises(SystemExit, match="224"):
+        cli.main(base + ["--mesh-spatial", "3"])
+    with pytest.raises(SystemExit, match="divide"):
+        cli.main(base + ["--batch-size", "3", "--mesh-devices", "2"])
+
+
 def test_cli_mesh_spatial_matches_plain(nyu_val_root, torch_ckpt, tmp_path):
     """--mesh-spatial S shards image height over a (data, space) mesh;
     final metrics match the meshless run (spatial partitioning is

@@ -460,6 +460,36 @@ def test_server_mesh_sharded_matches_single_device(rng):
                         mesh=mesh)
 
 
+def test_server_mesh_spatial_matches_single_device(rng):
+    """Serving over a 2-D (data, space) mesh — batch AND image height
+    sharded — matches single-device predictions, and the divisibility
+    guards check the right axis sizes (batch vs 'data', height vs
+    'space'), not the total device count."""
+    import pytest
+
+    from fastdepth_tpu.parallel import make_mesh_2d
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-virtual-device mesh")
+    model, params = _model_and_params()
+    frames = [rng.rand(HW, HW, 3).astype(np.float32) for _ in range(5)]
+    ref = np.asarray(model.apply(model.fold(params), jnp.asarray(np.stack(frames))))
+    mesh = make_mesh_2d(2, 4)
+    # batch 2 is NOT divisible by the 8-device total; it only needs to
+    # divide the 2-way 'data' axis
+    with InferenceServer(model, params, batch_size=2, image_size=(HW, HW),
+                         mesh=mesh) as srv:
+        futs = [srv.submit(f) for f in frames]
+        for i, f in enumerate(futs):
+            np.testing.assert_allclose(f.result(timeout=120), ref[i], atol=1e-5)
+    with pytest.raises(ValueError, match="data"):
+        InferenceServer(model, params, batch_size=3, image_size=(HW, HW),
+                        mesh=mesh)
+    with pytest.raises(ValueError, match="space"):
+        InferenceServer(model, params, batch_size=2, image_size=(HW + 2, HW),
+                        mesh=mesh)
+
+
 def test_resolve_future_idempotent():
     """_resolve_future must survive a second resolver (the submit-vs-close
     race resolves the same future from both sides by design): the first

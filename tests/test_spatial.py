@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from fastdepth_tpu.config import FASTDEPTH_PRUNED, ModelConfig, TrainConfig
 from fastdepth_tpu.engine import Evaluator
 from fastdepth_tpu.models import build
-from fastdepth_tpu.parallel import make_mesh, make_mesh_2d, shard_activations
+from fastdepth_tpu.parallel import make_mesh, make_mesh_2d, replicate, shard_activations
 from fastdepth_tpu.parallel.mesh import put_replicated, put_sharded
 
 TINY_ENC = (4, 6, 8, 10, 12, 14, 16, 16, 16, 16, 16, 16, 20, 24)
@@ -63,7 +63,7 @@ def test_spatial_forward_pure_sp_matches_single(tiny_model):
     f = jax.jit(
         model.apply,
         in_shardings=(
-            jax.tree.map(lambda _: put_replicated(jnp.zeros(()), mesh).sharding, params),
+            jax.tree.map(lambda _: replicate(mesh), params),
             shard_activations(mesh),
         ),
         out_shardings=shard_activations(mesh),
@@ -103,6 +103,19 @@ def test_put_sharded_policy_2d_mesh():
     mesh1 = make_mesh(8)
     arr1 = put_sharded(jnp.zeros((8, 32, 16, 3)), mesh1)
     assert {s.data.shape for s in arr1.addressable_shards} == {(1, 32, 16, 3)}
+
+
+def test_mesh_policy_rejects_unknown_axes():
+    """A mesh whose axes match neither 'data' nor 'space' must raise,
+    not silently replicate all work to every device (regression: the
+    policy helpers once fell back to P(None, None))."""
+    from fastdepth_tpu.parallel.mesh import shard_batch
+
+    bad = make_mesh(8, "batch")
+    with pytest.raises(ValueError, match="neither"):
+        shard_activations(bad)
+    with pytest.raises(ValueError, match="data"):
+        shard_batch(bad)  # strict: missing axis is a misconfigured mesh
 
 
 def test_spatial_eval_2d_mesh_matches_single(tiny_model):
