@@ -164,6 +164,32 @@ def test_spatial_forward_fullwidth_bitexact():
     assert np.array_equal(out, ref)
 
 
+def test_spatial_halo_artifact_consistent():
+    """docs/spatial_halo_r3.json (the traffic accounting behind
+    docs/spatial.md's break-even table) must be self-consistent: the
+    per-shape sums equal the stored totals and the break-even formula
+    reproduces the stored values."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), os.pardir,
+                        "docs", "spatial_halo_r3.json")
+    with open(path) as f:
+        d = json.load(f)
+    t1 = d["t1_b1_us"]
+    assert len(d["rows"]) >= 3
+    for r in d["rows"]:
+        total = sum(s["bytes_each"] * s["count"] for s in r["by_shape"])
+        assert total == r["halo_bytes_per_device"] > 0
+        n_cp = sum(s["count"] for s in r["by_shape"]
+                   if s["kind"] == "collective-permute")
+        assert n_cp == r["collective_permutes"] > 0
+        saved = t1 * (1 - 1 / r["space_shards"])
+        assert abs(saved - r["compute_saved_us_vs_single"]) < 0.06
+        be = total / (saved * 1e-6) / 1e9
+        assert abs(be - r["breakeven_ici_GBs"]) < 0.01
+
+
 def test_trainer_rejects_space_mesh():
     """Training must refuse a 'space' mesh axis: dw-conv weight grads
     diverge under SPMD spatial partitioning at degenerate extents (up
