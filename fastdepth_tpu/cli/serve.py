@@ -39,6 +39,10 @@ def parse_args(argv=None):
                    help="return float16 predictions (half the response "
                         "payload; ~1 cm quantization at 10 m)")
     p.add_argument("--impl", default="auto", choices=["auto", "xla", "opt"])
+    p.add_argument("--mesh-spatial", type=int, default=None, metavar="S",
+                   help="additionally shard image HEIGHT S-way (spatial "
+                        "partitioning; total devices = mesh-devices x S; "
+                        "S must divide the image height)")
     p.add_argument("--mesh-devices", type=int, default=None, metavar="N",
                    help="shard each packed batch over an N-device "
                         "data-parallel mesh (params replicate)")
@@ -63,7 +67,10 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def main(argv=None):
+def main(argv=None, *, _ready=None, _stop=None):
+    """``_ready``/``_stop`` are test hooks threaded into the accept loop
+    so the daemon-launch path can be driven in-process (the public
+    surface is unchanged: blocking loop, Ctrl-C to stop)."""
     args = parse_args(argv)
 
     import numpy as np
@@ -116,7 +123,11 @@ def main(argv=None):
     print(f"=> loading model '{args.evaluate}'")
     params, model, meta = load_params_and_model(args.evaluate)
     mesh = None
-    if args.mesh_devices:
+    if args.mesh_spatial:
+        from fastdepth_tpu.parallel import make_mesh_2d
+
+        mesh = make_mesh_2d(args.mesh_devices or 1, args.mesh_spatial)
+    elif args.mesh_devices:
         from fastdepth_tpu.parallel import make_mesh
 
         mesh = make_mesh(args.mesh_devices)
@@ -147,7 +158,7 @@ def main(argv=None):
 
         threading.Thread(target=stats_loop, daemon=True).start()
     try:
-        serve_unix_socket(server, args.socket)
+        serve_unix_socket(server, args.socket, ready=_ready, stop=_stop)
     except KeyboardInterrupt:
         print("\n=> shutting down")
     finally:

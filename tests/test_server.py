@@ -140,6 +140,39 @@ def test_serve_cli_stream_ping(rng, tmp_path, capsys):
     assert srv.stats()["frames"] == 9
 
 
+def test_serve_cli_daemon_launch_spatial_mesh(rng, tmp_path):
+    """The CLI's daemon-launch path end to end: load an .npz checkpoint,
+    build a (data=2, space=4) mesh from --mesh-devices/--mesh-spatial,
+    serve over the unix socket, and answer a client ping with the
+    single-device prediction."""
+    from fastdepth_tpu.checkpoint.io import jax_to_numpy, save_checkpoint
+    from fastdepth_tpu.cli import serve as serve_cli
+    from fastdepth_tpu.engine.server import request
+
+    model, params = _model_and_params()
+    ckpt = str(tmp_path / "tiny.npz")
+    save_checkpoint(ckpt, jax_to_numpy(params), CFG)
+    sock = str(tmp_path / "fd.sock")
+    ready, stop = threading.Event(), threading.Event()
+    rc = {}
+    t = threading.Thread(
+        target=lambda: rc.setdefault("rc", serve_cli.main(
+            ["--evaluate", ckpt, "--socket", sock, "--batch-size", "2",
+             "--image-size", str(HW), str(HW), "--stats-every", "0",
+             "--mesh-devices", "2", "--mesh-spatial", "4"],
+            _ready=ready, _stop=stop)),
+        daemon=True)
+    t.start()
+    assert ready.wait(timeout=120), "daemon never came up"
+    frame = rng.rand(HW, HW, 3).astype(np.float32)
+    pred = request(sock, frame)
+    stop.set()
+    t.join(timeout=30)
+    assert rc.get("rc") == 0
+    ref = np.asarray(model.apply(model.fold(params), jnp.asarray(frame[None])))
+    np.testing.assert_allclose(pred, ref[0], atol=1e-5)
+
+
 def test_server_uint8_device_normalize(rng):
     """uint8 ingestion == float path on the same /255'd frames (the
     Evaluator's --device-normalize math, 4x less transfer)."""

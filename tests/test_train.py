@@ -109,6 +109,9 @@ def test_training_converges_overfit(rng):
     pred = model.apply(model.fold(state.params), rgb)
     delta1 = float(np.mean(np.asarray(evaluate_batch(pred, depth)["delta1"])))
     assert delta1 > 0.9, delta1
+
+
+def test_train_step_updates_bn_stats(rng):
     model = build(CFG)
     params = model.init(jax.random.PRNGKey(0))
     tc = TrainConfig(weight_decay=0.0)
