@@ -77,19 +77,15 @@ def load_params_and_model(path: str):
 
 def main(argv=None):
     args = parse_args(argv)
-    # validate mesh arguments before any device/data work: a non-divisor
-    # would otherwise surface as a low-level sharding error on batch 1
-    if args.mesh_devices and args.batch_size % args.mesh_devices:
-        raise SystemExit(
-            f"--batch-size {args.batch_size} must divide by "
-            f"--mesh-devices {args.mesh_devices}")
-    if args.mesh_spatial:
-        from fastdepth_tpu.data.nyu import OUTPUT_SIZE
+    # mesh args are validated (SystemExit) before any device/data work:
+    # a non-divisor would otherwise surface as a low-level sharding
+    # error on batch 1
+    from fastdepth_tpu.data.nyu import OUTPUT_SIZE
+    from fastdepth_tpu.parallel import mesh_from_cli
 
-        if OUTPUT_SIZE[0] % args.mesh_spatial:
-            raise SystemExit(
-                f"--mesh-spatial {args.mesh_spatial} must divide the "
-                f"{OUTPUT_SIZE[0]}-row image height")
+    mesh = mesh_from_cli(args.mesh_devices, args.mesh_spatial,
+                         image_height=OUTPUT_SIZE[0],
+                         batch_size=args.batch_size)
     assert os.path.isfile(args.evaluate), f"=> no model found at '{args.evaluate}'"
     # persistent compile cache: on tunneled-TPU hosts the remote compile
     # helper can take minutes per graph; a fresh process must not re-pay it
@@ -102,7 +98,6 @@ def main(argv=None):
 
     from fastdepth_tpu.data import BatchLoader, NYUDataset
     from fastdepth_tpu.engine import Evaluator, validate
-    from fastdepth_tpu.parallel import make_mesh
 
     print("=> creating data loaders...")
     valdir = os.path.join(args.data_root, args.data, "val")
@@ -115,14 +110,6 @@ def main(argv=None):
     )
     print("=> data loaders created.")
 
-    if args.mesh_spatial:
-        from fastdepth_tpu.parallel import make_mesh_2d
-
-        mesh = make_mesh_2d(args.mesh_devices or 1, args.mesh_spatial)
-    elif args.mesh_devices:
-        mesh = make_mesh(args.mesh_devices)
-    else:
-        mesh = None
     evaluator = Evaluator(
         model, params,
         batch_size=args.batch_size,

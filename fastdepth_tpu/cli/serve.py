@@ -112,6 +112,14 @@ def main(argv=None, *, _ready=None, _stop=None):
     if not args.evaluate:
         raise SystemExit("--evaluate is required (or use --ping for client mode)")
 
+    # validate + build the mesh before any checkpoint/compile work (same
+    # rule as cli.evaluate; InferenceServer re-checks batch divisibility)
+    from fastdepth_tpu.parallel import mesh_from_cli
+
+    _mesh = mesh_from_cli(args.mesh_devices, args.mesh_spatial,
+                          image_height=args.image_size[0],
+                          batch_size=args.batch_size)
+
     import jax.numpy as jnp
 
     from fastdepth_tpu.cli.evaluate import load_params_and_model
@@ -122,15 +130,7 @@ def main(argv=None, *, _ready=None, _stop=None):
 
     print(f"=> loading model '{args.evaluate}'")
     params, model, meta = load_params_and_model(args.evaluate)
-    mesh = None
-    if args.mesh_spatial:
-        from fastdepth_tpu.parallel import make_mesh_2d
-
-        mesh = make_mesh_2d(args.mesh_devices or 1, args.mesh_spatial)
-    elif args.mesh_devices:
-        from fastdepth_tpu.parallel import make_mesh
-
-        mesh = make_mesh(args.mesh_devices)
+    mesh = _mesh
     server = InferenceServer(
         model, params,
         batch_size=args.batch_size,

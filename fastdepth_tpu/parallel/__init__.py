@@ -1,6 +1,7 @@
 from fastdepth_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
     make_mesh_2d,
+    mesh_from_cli,
     replicate,
     shard_activations,
     shard_batch,

@@ -68,6 +68,28 @@ def make_mesh_2d(
     )
 
 
+def mesh_from_cli(n_data: Optional[int], n_space: Optional[int],
+                  image_height: Optional[int] = None,
+                  batch_size: Optional[int] = None) -> Optional[Mesh]:
+    """Shared CLI mesh-construction rule (cli.evaluate / cli.serve):
+    ``--mesh-devices N --mesh-spatial S`` -> (N or 1, S) 2-D mesh;
+    N alone -> 1-D data mesh; neither -> None.  Validates divisibility
+    upfront (SystemExit with the flag names) so a misconfiguration never
+    reaches checkpoint loading or a low-level sharding error."""
+    if n_data and batch_size is not None and batch_size % n_data:
+        raise SystemExit(
+            f"--batch-size {batch_size} must divide by --mesh-devices {n_data}")
+    if n_space:
+        if image_height is not None and image_height % n_space:
+            raise SystemExit(
+                f"--mesh-spatial {n_space} must divide the "
+                f"{image_height}-row image height")
+        return make_mesh_2d(n_data or 1, n_space)
+    if n_data:
+        return make_mesh(n_data)
+    return None
+
+
 def activation_spec(mesh: Mesh) -> P:
     """NHWC activation PartitionSpec implied by the mesh's axis names:
     batch over ``data`` (if present), height over ``space`` (if

@@ -56,13 +56,21 @@ _BYTES = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4, "pred": 1,
 _SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
 
 
-def _collect(hlo_text: str):
-    """Sum per-device wire bytes of every halo/gather collective in the
-    compiled module (result shape = what each device receives)."""
+def _collect(hlo_text: str, n_shards: int):
+    """Per-device wire bytes of every halo/gather collective in the
+    compiled module.  A collective-permute's result shape is fully
+    received over the wire; an all-gather's result includes the
+    device's OWN shard, so only (S-1)/S of it travels."""
+    if re.search(r"(collective-permute|all-gather)-(start|done)", hlo_text):
+        raise NotImplementedError(
+            "async collective forms in the module; extend the parser "
+            "before trusting the byte totals")
     rows = {}
+    n_seen = {"collective-permute": 0, "all-gather": 0}
     for line in hlo_text.splitlines():
         line = line.strip()
-        m = re.match(r"%?\S+ = (\w+\[[\d,]*\][^ ]*) (collective-permute|all-gather)\(", line)
+        m = re.match(r"(?:ROOT )?%?\S+ = (\w+\[[\d,]*\][^ ]*) "
+                     r"(collective-permute|all-gather)\(", line)
         if not m:
             continue
         shape_s, kind = m.groups()
@@ -70,13 +78,25 @@ def _collect(hlo_text: str):
         dtype, dims = sm.group(1), sm.group(2)
         shape = tuple(int(d) for d in dims.split(",")) if dims else ()
         nbytes = int(np.prod(shape)) * _BYTES[dtype]
+        wire = nbytes if kind == "collective-permute" \
+            else nbytes * (n_shards - 1) // n_shards
         key = (kind, dtype, shape)
         if key not in rows:
             rows[key] = {"kind": kind, "dtype": dtype, "shape": list(shape),
-                         "count": 0, "bytes_each": nbytes}
+                         "count": 0, "result_bytes_each": nbytes,
+                         "wire_bytes_each": wire}
         rows[key]["count"] += 1
-    out = sorted(rows.values(), key=lambda r: -r["bytes_each"] * r["count"])
-    total = sum(r["bytes_each"] * r["count"] for r in out)
+        n_seen[kind] += 1
+    # completeness guard: every textual occurrence of the op must have
+    # been parsed (a format drift would otherwise silently undercount)
+    for kind, n in n_seen.items():
+        n_text = len(re.findall(rf" {kind}\(", hlo_text))
+        if n != n_text:
+            raise RuntimeError(
+                f"parsed {n} {kind} ops but the module text contains "
+                f"{n_text}; parser out of date")
+    out = sorted(rows.values(), key=lambda r: -r["wire_bytes_each"] * r["count"])
+    total = sum(r["wire_bytes_each"] * r["count"] for r in out)
     n_cp = sum(r["count"] for r in out if r["kind"] == "collective-permute")
     n_ag = sum(r["count"] for r in out if r["kind"] == "all-gather")
     return out, total, n_cp, n_ag
@@ -101,7 +121,7 @@ def main():
             out_shardings=act,
         )
         txt = f.lower(params_r, put_sharded(x, mesh)).compile().as_text()
-        rows, total, n_cp, n_ag = _collect(txt)
+        rows, total, n_cp, n_ag = _collect(txt, s)
         saved_us = T1_B1_US * (1 - 1 / s)
         results.append({
             "space_shards": s,

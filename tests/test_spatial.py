@@ -179,12 +179,21 @@ def test_spatial_halo_artifact_consistent():
     t1 = d["t1_b1_us"]
     assert len(d["rows"]) >= 3
     for r in d["rows"]:
-        total = sum(s["bytes_each"] * s["count"] for s in r["by_shape"])
+        s_shards = r["space_shards"]
+        total = sum(s["wire_bytes_each"] * s["count"] for s in r["by_shape"])
         assert total == r["halo_bytes_per_device"] > 0
+        for s in r["by_shape"]:
+            # permute results travel in full; an all-gather result
+            # includes the device's own shard -> (S-1)/S on the wire
+            if s["kind"] == "collective-permute":
+                assert s["wire_bytes_each"] == s["result_bytes_each"]
+            else:
+                assert s["wire_bytes_each"] == (
+                    s["result_bytes_each"] * (s_shards - 1) // s_shards)
         n_cp = sum(s["count"] for s in r["by_shape"]
                    if s["kind"] == "collective-permute")
         assert n_cp == r["collective_permutes"] > 0
-        saved = t1 * (1 - 1 / r["space_shards"])
+        saved = t1 * (1 - 1 / s_shards)
         assert abs(saved - r["compute_saved_us_vs_single"]) < 0.06
         be = total / (saved * 1e-6) / 1e9
         assert abs(be - r["breakeven_ici_GBs"]) < 0.01
