@@ -79,13 +79,17 @@ def main(argv=None):
     args = parse_args(argv)
     # mesh args are validated (SystemExit) before any device/data work:
     # a non-divisor would otherwise surface as a low-level sharding
-    # error on batch 1
-    from fastdepth_tpu.data.nyu import OUTPUT_SIZE
+    # error on batch 1.  The sharded height is what reaches device_put:
+    # 224 post-preprocess frames normally, RAW 480-row frames under
+    # --device-preprocess (the resize happens on device, inside the
+    # sharded step).
+    from fastdepth_tpu.data.nyu import OUTPUT_SIZE, RAW_SIZE
     from fastdepth_tpu.parallel import mesh_from_cli
 
-    mesh = mesh_from_cli(args.mesh_devices, args.mesh_spatial,
-                         image_height=OUTPUT_SIZE[0],
-                         batch_size=args.batch_size)
+    mesh = mesh_from_cli(
+        args.mesh_devices, args.mesh_spatial,
+        image_height=(RAW_SIZE if args.device_preprocess else OUTPUT_SIZE)[0],
+        batch_size=args.batch_size)
     assert os.path.isfile(args.evaluate), f"=> no model found at '{args.evaluate}'"
     # persistent compile cache: on tunneled-TPU hosts the remote compile
     # helper can take minutes per graph; a fresh process must not re-pay it

@@ -337,6 +337,8 @@ def serve_unix_socket(
         # batch (the reference's runner is strictly one-shot,
         # deploy/tx2_run_tvm.py:35-40).
         out_q: "queue.Queue" = queue.Queue()
+        sent = [0]        # responses fully written (drain progress)
+        in_send = [False]  # writer is inside sendall (vs device wait)
 
         def writer():
             while True:
@@ -344,7 +346,11 @@ def serve_unix_socket(
                 if fut is None:
                     return
                 try:
-                    _send_npy(conn, fut.result())
+                    res = fut.result()
+                    in_send[0] = True
+                    _send_npy(conn, res)
+                    in_send[0] = False
+                    sent[0] += 1
                 except Exception as e:
                     # includes BrokenPipeError when the client vanished
                     # mid-response: the batch still completes for other
@@ -383,12 +389,21 @@ def serve_unix_socket(
                     return
         finally:
             out_q.put(None)
-            wt.join(timeout=30)
+            # Drain every pending answer before closing: a pipelined
+            # client half-closes after its last frame, and the first
+            # result may take MINUTES on a cold daemon (first compile).
+            # Waiting on device work is unbounded by design; only a
+            # writer stuck in sendall with zero progress for 30s (peer
+            # stopped reading) is abandoned.
+            while wt.is_alive() and not stop.is_set():
+                before = sent[0]
+                wt.join(timeout=30)
+                if wt.is_alive() and in_send[0] and sent[0] == before:
+                    break  # 30s inside one send, nothing written: dead peer
             if wt.is_alive():
-                # writer stuck in sendall against a peer that stopped
-                # reading: shutdown() breaks the send WITHOUT
-                # invalidating the fd (close() under a concurrent
-                # sendall re-uses a dead fd in CPython), then reap
+                # shutdown() breaks the send WITHOUT invalidating the fd
+                # (close() under a concurrent sendall re-uses a dead fd
+                # in CPython), then reap
                 import socket as _s
 
                 try:
@@ -487,6 +502,15 @@ def request_stream(sock_path: str, frames, depth: int = 32):
     finally:
         dead.set()
         st.join(timeout=5)
+        if st.is_alive():
+            # sender stuck in sendall (server stopped reading, buffer
+            # full): shutdown() unblocks it without the fd-reuse hazard
+            # of close() under a concurrent sendall, then reap
+            try:
+                c.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
+            st.join(timeout=5)
         c.close()
 
 

@@ -42,9 +42,15 @@ def make_mesh(
     axis_name: str = DATA_AXIS,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """1-D mesh over the first ``num_devices`` devices."""
+    """1-D mesh over the first ``num_devices`` devices.  Raises when
+    fewer are available (like ``make_mesh_2d``) — silently running a
+    smaller topology than requested is a misconfiguration, not a
+    fallback."""
     devs = list(devices) if devices is not None else jax.devices()
     if num_devices is not None:
+        if len(devs) < num_devices:
+            raise ValueError(f"need {num_devices} devices for the mesh, "
+                             f"have {len(devs)}")
         devs = devs[:num_devices]
     return Mesh(np.array(devs), (axis_name,))
 

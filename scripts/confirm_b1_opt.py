@@ -18,8 +18,9 @@ import numpy as np
 import jax
 
 repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-jax.config.update("jax_compilation_cache_dir", os.path.join(repo, ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from fastdepth_tpu.engine.benchmark import setup_compile_cache  # noqa: E402
+
+setup_compile_cache()
 
 import jax.numpy as jnp
 

@@ -285,3 +285,9 @@ def test_cli_mesh_spatial_matches_plain(nyu_val_root, torch_ckpt, tmp_path):
     spatial = cli.main(args + ["--mesh-devices", "2", "--mesh-spatial", "4"])
     np.testing.assert_allclose(spatial.rmse, plain.rmse, rtol=1e-5)
     np.testing.assert_allclose(spatial.delta1, plain.delta1, rtol=1e-5)
+    # --device-preprocess shards RAW 480-row frames (the resize runs on
+    # device inside the sharded step); 4 divides 480, metrics must agree
+    dp = cli.main(args + ["--device-preprocess",
+                          "--mesh-devices", "2", "--mesh-spatial", "4"])
+    np.testing.assert_allclose(dp.rmse, plain.rmse, rtol=1e-5)
+    np.testing.assert_allclose(dp.delta1, plain.delta1, rtol=1e-5)

@@ -116,6 +116,8 @@ def test_mesh_policy_rejects_unknown_axes():
         shard_activations(bad)
     with pytest.raises(ValueError, match="data"):
         shard_batch(bad)  # strict: missing axis is a misconfigured mesh
+    with pytest.raises(ValueError, match="devices"):
+        make_mesh(1024)  # more than available: raise, don't truncate
 
 
 def test_spatial_eval_2d_mesh_matches_single(tiny_model):
