@@ -397,9 +397,10 @@ def serve_unix_socket(
             # stopped reading) is abandoned.
             while wt.is_alive() and not stop.is_set():
                 before = sent[0]
-                wt.join(timeout=30)
+                wt.join(timeout=DRAIN_NO_PROGRESS_TIMEOUT)
                 if wt.is_alive() and in_send[0] and sent[0] == before:
-                    break  # 30s inside one send, nothing written: dead peer
+                    break  # one send, nothing written for the whole
+                    #        timeout: the peer stopped reading
             if wt.is_alive():
                 # shutdown() breaks the send WITHOUT invalidating the fd
                 # (close() under a concurrent sendall re-uses a dead fd
@@ -512,6 +513,12 @@ def request_stream(sock_path: str, frames, depth: int = 32):
                 pass
             st.join(timeout=5)
         c.close()
+
+
+#: Abandon a connection's drain only after a send makes zero progress
+#: for this long (peer stopped reading).  Waiting on DEVICE work during
+#: the drain is unbounded by design — first compiles take minutes.
+DRAIN_NO_PROGRESS_TIMEOUT = 30.0
 
 
 class ProtocolError(ValueError):

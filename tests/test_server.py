@@ -173,6 +173,50 @@ def test_serve_cli_daemon_launch_spatial_mesh(rng, tmp_path):
     np.testing.assert_allclose(pred, ref[0], atol=1e-5)
 
 
+def test_stream_half_close_survives_slow_first_result(rng, tmp_path, monkeypatch):
+    """Cold-compile regime: a pipelined client half-closes after its last
+    frame while the first result is still pending.  The handler's drain
+    must wait on device work indefinitely (only a send with zero
+    progress means a dead peer) — with the no-progress timeout shrunk
+    below the result delay, every answer must still arrive."""
+    import time
+    from concurrent.futures import Future
+
+    from fastdepth_tpu.engine import server as srv_mod
+    from fastdepth_tpu.engine.server import request_stream
+
+    monkeypatch.setattr(srv_mod, "DRAIN_NO_PROGRESS_TIMEOUT", 0.2)
+    model, params = _model_and_params()
+    with InferenceServer(model, params, batch_size=2,
+                         image_size=(HW, HW)) as srv:
+        real_submit = srv.submit
+
+        def slow_submit(frame):
+            inner = real_submit(frame)
+            outer: Future = Future()
+
+            def chain():
+                time.sleep(1.0)  # >> the shrunk no-progress timeout
+                try:
+                    outer.set_result(inner.result(timeout=60))
+                except Exception as e:  # pragma: no cover
+                    outer.set_exception(e)
+
+            threading.Thread(target=chain, daemon=True).start()
+            return outer
+
+        srv.submit = slow_submit
+        sock, stop, t = _live_socket(tmp_path, srv)
+        frames = [rng.rand(HW, HW, 3).astype(np.float32) for _ in range(3)]
+        preds = list(request_stream(sock, frames, depth=4))
+        stop.set()
+        t.join(timeout=10)
+    assert len(preds) == 3
+    ref = np.asarray(model.apply(model.fold(params), jnp.asarray(np.stack(frames))))
+    for i, p in enumerate(preds):
+        np.testing.assert_allclose(p, ref[i], atol=1e-5)
+
+
 def test_server_uint8_device_normalize(rng):
     """uint8 ingestion == float path on the same /255'd frames (the
     Evaluator's --device-normalize math, 4x less transfer)."""
