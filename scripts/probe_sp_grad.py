@@ -8,6 +8,22 @@ strategy choices, so it cannot be statically validated away.  The
 forward pass is bit-exact at full width under the same shardings (84
 collective-permute halo exchanges, tests/test_spatial.py).
 
+Bisection (the `localization` section of the JSON) pins it down:
+
+* the TRAIN-MODE FORWARD is exact under the same sharding (<1e-11 in
+  f64, batch-stat BN included) — the primal program is fine,
+* the EVAL-MODE gradient of the same net is exact (<1e-16),
+* only DW weight-grad leaves ever diverge; every pointwise/dense
+  weight grad is exact — including ones UPSTREAM of divergent dw
+  leaves, so the x-cotangent chain is intact and the corruption is
+  local to grad-of-dw-conv's weight computation (the input x cotangent
+  correlation, a feature-grouped conv whose shard-padding masking the
+  partitioner gets wrong under some strategies),
+* minimal compositions (dw/pw/BN-batch-stats/ReLU6/stride-2 chains
+  down to 1-row-over-4-shards extents, torch-style explicit padding)
+  are all exact — the trigger needs the full net's strategy landscape,
+  which is exactly why a shape validator cannot gate it.
+
 Consequence (enforced in train/trainer.py): the 'space' mesh axis is an
 INFERENCE/EVAL axis; training rejects meshes that carry it.  DP covers
 training throughput (the workload's scaling axis is the batch,
@@ -88,12 +104,63 @@ def main():
         print(f"H={h} mesh=({n_data},{n_space}) worst {worst:.3e} "
               f"({len(bad)} divergent leaves)")
 
+    # localization at the worst case (H=32, 2x4 mesh): primal exactness,
+    # eval-mode grad exactness, and the dw-only divergence pattern
+    h, n_data, n_space = 32, 2, 4
+    rgb = jnp.asarray(rng.rand(8, h, h, 3), jnp.float64)
+    depth = jnp.asarray(rng.rand(8, h, h, 1) * 5 + 0.5, jnp.float64)
+    mesh = make_mesh_2d(n_data, n_space)
+    repl = NamedSharding(mesh, P())
+    data = shard_activations(mesh)
+    p_repl = jax.device_put(params, repl)
+    rgb_s, depth_s = put_sharded(rgb, mesh), put_sharded(depth, mesh)
+
+    def fwd(p, r):
+        return model.apply(p, r, train=True, stats={})
+
+    y1 = jax.jit(fwd)(params, rgb)
+    y2 = jax.jit(fwd, in_shardings=(jax.tree.map(lambda _: repl, params),
+                                    data))(p_repl, rgb_s)
+    fwd_diff = float(np.max(np.abs(np.asarray(y1) - np.asarray(y2))))
+
+    def eval_loss(p, r, d):
+        return masked_l1_loss(model.apply(p, r), d)
+
+    ge1 = jax.jit(jax.grad(eval_loss))(params, rgb, depth)
+    ge2 = jax.jit(jax.grad(eval_loss),
+                  in_shardings=(jax.tree.map(lambda _: repl, params),
+                                data, data))(p_repl, rgb_s, depth_s)
+    eval_diff = max(
+        float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+        for a, b in zip(jax.tree_util.tree_leaves(ge1),
+                        jax.tree_util.tree_leaves(ge2)))
+
+    divergent = set()
+    for r in rows:
+        divergent.update(r["divergent_leaves"])
+    localization = {
+        "train_mode_forward_max_diff_f64": fwd_diff,
+        "eval_mode_grad_max_diff_f64": eval_diff,
+        "divergent_leaves_all_dw": all("['dw']" in k for k in divergent),
+        "any_pw_or_dense_leaf_divergent": any(
+            "['dw']" not in k for k in divergent),
+        "note": "primal exact, eval-mode grads exact, pw grads exact even "
+                "upstream of divergent dw leaves -> the corruption is "
+                "local to grad-of-dw-conv's WEIGHT computation under "
+                "specific partitioner strategies; minimal dw/pw/BN/ReLU6/"
+                "stride chains (incl. 1-row-over-4-shard extents) do not "
+                "reproduce it",
+    }
+    print(f"localization: train-fwd diff {fwd_diff:.1e}, eval-grad diff "
+          f"{eval_diff:.1e}, all-dw={localization['divergent_leaves_all_dw']}")
+
     out = {
         "what": "f64 grad diff, single-device vs (data,space)-sharded SPMD, "
                 "tiny-width FastDepth, train-mode forward + masked L1",
         "conclusion": "dw-conv weight grads diverge at degenerate "
                       "spatial extents; trigger depends on partitioner "
                       "strategy; 'space' axis is inference/eval-only",
+        "localization": localization,
         "rows": rows,
     }
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
