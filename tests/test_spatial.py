@@ -201,6 +201,26 @@ def test_spatial_halo_artifact_consistent():
         assert abs(be - r["breakeven_ici_GBs"]) < 0.01
 
 
+def test_sp_grad_probe_artifact_shape():
+    """docs/probe_r3_sp_grad.json — the committed evidence behind the
+    Trainer's 'space' rejection — must carry the localization facts the
+    docs cite: primal + eval-mode-grad exactness, dw-only divergence,
+    and at least one row with a macroscopic diff."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), os.pardir,
+                        "docs", "probe_r3_sp_grad.json")
+    with open(path) as f:
+        d = json.load(f)
+    loc = d["localization"]
+    assert loc["train_mode_forward_max_diff_f64"] < 1e-9
+    assert loc["eval_mode_grad_max_diff_f64"] < 1e-9
+    assert loc["divergent_leaves_all_dw"] is True
+    assert loc["any_pw_or_dense_leaf_divergent"] is False
+    assert max(r["worst_abs_grad_diff_f64"] for r in d["rows"]) > 1e-3
+
+
 def test_trainer_rejects_space_mesh():
     """Training must refuse a 'space' mesh axis: dw-conv weight grads
     diverge under SPMD spatial partitioning at degenerate extents (up
