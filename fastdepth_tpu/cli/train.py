@@ -93,8 +93,15 @@ def main(argv=None):
     from fastdepth_tpu.engine import Evaluator, validate
     from fastdepth_tpu.metrics import Result
     from fastdepth_tpu.models import build, from_name
-    from fastdepth_tpu.parallel import make_mesh
+    from fastdepth_tpu.parallel import mesh_from_cli
     from fastdepth_tpu.train import Trainer
+
+    # mesh args validated (SystemExit) before checkpoint/data work
+    mesh = mesh_from_cli(args.mesh_devices, None, batch_size=args.batch_size)
+    if mesh is not None and args.eval_batch_size % args.mesh_devices:
+        raise SystemExit(
+            f"--eval-batch-size {args.eval_batch_size} must divide by "
+            f"--mesh-devices {args.mesh_devices}")
 
     tc = TrainConfig(
         lr=args.lr, momentum=args.momentum, weight_decay=args.weight_decay,
@@ -136,7 +143,6 @@ def main(argv=None):
                              num_workers=args.workers, pad_last=True)
     print(f"=> {len(train_ds)} train / {len(val_ds)} val images")
 
-    mesh = make_mesh(args.mesh_devices) if args.mesh_devices else None
     trainer = Trainer(model, params, tc, mesh=mesh, remat=args.remat,
                       compute_dtype=jnp.bfloat16 if args.bf16 else None)
 
