@@ -93,6 +93,12 @@ class TrainPipeline:
         self.cols1 = T.nearest_resize_indices(w, self.w1)
         self.crop_size = crop_size
         self.output_size = output_size
+        # the final-resize index vectors depend only on crop/output size:
+        # precompute once (this runs per item per epoch on the host)
+        th, tw = crop_size
+        self._rows2 = T.nearest_resize_indices(th, output_size[0])
+        self._cols2 = T.nearest_resize_indices(tw, output_size[1])
+        self._cols2_flipped = (tw - 1) - self._cols2
 
     def post_rotate_indices(self, s: TrainSample) -> Tuple[np.ndarray, np.ndarray]:
         hs, ws = T.imresize_output_size(self.h1, self.w1, s.scale)
@@ -100,13 +106,10 @@ class TrainPipeline:
         cols_s = T.nearest_resize_indices(self.w1, ws)
         th, tw = self.crop_size
         i0, j0 = T.center_crop_offsets(hs, ws, th, tw)
-        rows2 = T.nearest_resize_indices(th, self.output_size[0])
-        cols2 = T.nearest_resize_indices(tw, self.output_size[1])
-        if s.do_flip:
-            # flip the 304-wide crop before the final resize
-            # (np.fliplr at nyu.py:39 via transforms.py:485-510)
-            cols2 = (tw - 1) - cols2
-        return rows_s[i0 + rows2], cols_s[j0 + cols2]
+        # flip the 304-wide crop before the final resize
+        # (np.fliplr at nyu.py:39 via transforms.py:485-510)
+        cols2 = self._cols2_flipped if s.do_flip else self._cols2
+        return rows_s[i0 + self._rows2], cols_s[j0 + cols2]
 
     def __call__(
         self,

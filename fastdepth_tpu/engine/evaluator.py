@@ -93,13 +93,17 @@ class Evaluator:
 
         def step(params, rgb, depth):
             if gather is not None:
-                if rgb.shape[1] < min_raw[0] or rgb.shape[2] < min_raw[1]:
-                    raise ValueError(
-                        f"val_pipeline gather needs raw frames of at least "
-                        f"{min_raw[0]}x{min_raw[1]} (rows/cols index that "
-                        f"far), got {rgb.shape[1]}x{rgb.shape[2]} — use "
-                        f"NYUDataset(raw_items=True), or drop val_pipeline "
-                        f"for preprocessed items")
+                # BOTH tensors are gathered below; a preprocessed depth
+                # next to a raw rgb would clamp-gather silently otherwise
+                for name, t in (("rgb", rgb), ("depth", depth)):
+                    if t.shape[1] < min_raw[0] or t.shape[2] < min_raw[1]:
+                        raise ValueError(
+                            f"val_pipeline gather needs raw frames of at "
+                            f"least {min_raw[0]}x{min_raw[1]} (rows/cols "
+                            f"index that far), got {t.shape[1]}x"
+                            f"{t.shape[2]} for {name} — use "
+                            f"NYUDataset(raw_items=True), or drop "
+                            f"val_pipeline for preprocessed items")
                 rows, cols = gather
                 rgb = rgb[:, rows][:, :, cols]
                 depth = depth[:, rows][:, :, cols]
@@ -163,18 +167,37 @@ def validate(
     (device-preprocess mode) — pass the host ValPipeline gather."""
     meter = M.AverageMeter()
     img_merge = None
+    img_saved = False
     seen = 0
-    end = time.time()
 
     def submitted():
         """Enqueue each batch's device work (JAX dispatch is async) and
-        yield the in-flight futures."""
-        for rgb, depth, count in loader:
-            t0 = time.time()
+        yield the in-flight futures.  data_time = this thread's real
+        blocking wait on the loader (under the one-ahead pipeline that
+        wait overlaps the previous batch's sync — measuring it directly
+        is the only attribution that stays honest there)."""
+        first = True
+        it = iter(loader)
+        while True:
+            t_wait = time.time()
+            item = next(it, None)
+            if item is None:
+                return
+            data_time = time.time() - t_wait
+            rgb, depth, count = item
             rgb_d = evaluator.put(rgb)
             depth_d = evaluator.put(depth)
+            if first:
+                # compile outside the timed region: the first call pays
+                # jit trace+compile (minutes on this platform's cold
+                # cache), which would poison avg.gpu_time by orders of
+                # magnitude; one duplicated batch of real compute is the
+                # cheap price of honest timing
+                np.asarray(evaluator(rgb_d, depth_d)[1])
+                first = False
+            t0 = time.time()
             pred, batch_metrics = evaluator(rgb_d, depth_d)
-            yield rgb, depth, count, pred, batch_metrics, t0
+            yield rgb, depth, count, pred, batch_metrics, t0, data_time
 
     def one_ahead(gen):
         """Keep one batch in flight: batch k+1's transfer+compute is
@@ -187,10 +210,7 @@ def validate(
             yield prev
             prev = nxt
 
-    for rgb, depth, count, pred, batch_metrics, t0 in one_ahead(submitted()):
-        # with the one-ahead pipeline, batch k+1's t0 can precede batch
-        # k's handling — clamp so data_time never goes negative in the CSV
-        data_time = max(0.0, t0 - end)
+    for rgb, depth, count, pred, batch_metrics, t0, data_time in one_ahead(submitted()):
         # host materialization doubles as the device sync: on some PJRT
         # transports block_until_ready returns early (engine/benchmark.py)
         stacked = np.asarray(batch_metrics)  # (num_fields, N), one fetch
@@ -209,8 +229,9 @@ def validate(
                         r_i, d_i = viz_transform(r_i), viz_transform(d_i)
                     row = viz.merge_into_row(r_i, d_i, np.asarray(pred[i]))
                     img_merge = row if img_merge is None else viz.add_row(img_merge, row)
-                elif gi == 8 * 50 and img_merge is not None:
+                elif gi == 8 * 50 and img_merge is not None and not img_saved:
                     viz.save_image(img_merge, os.path.join(output_dir, f"comparison_{epoch}.png"))
+                    img_saved = True
         seen += count
 
         # print every `print_freq` images (reference main.py:100-108)
@@ -219,19 +240,23 @@ def validate(
             last = {k: float(v[-1]) for k, v in valid.items()}
             log(
                 f"Test: [{seen}/{len(loader.dataset)}]\t"
-                f"t_GPU={gpu_time:.3f}({avg.gpu_time:.3f})\n\t"
+                # per-image in both positions, like the reference's b1 log
+                f"t_GPU={gpu_time / count:.3f}({avg.gpu_time:.3f})\n\t"
                 f"RMSE={last['rmse']:.2f}({avg.rmse:.2f}) "
                 f"MAE={last['mae']:.2f}({avg.mae:.2f}) "
                 f"Delta1={last['delta1']:.3f}({avg.delta1:.3f}) "
                 f"REL={last['absrel']:.3f}({avg.absrel:.3f}) "
                 f"Lg10={last['lg10']:.3f}({avg.lg10:.3f}) "
             )
-        end = time.time()
-
     if seen == 0:
         raise ValueError(
             "validate(): the loader yielded no batches (empty split or "
             "dataset) — nothing to average")
+    if make_images and output_dir is not None and img_merge is not None \
+            and not img_saved:
+        # datasets shorter than the reference's 8*50-image window would
+        # otherwise build the strip and silently never write it
+        viz.save_image(img_merge, os.path.join(output_dir, f"comparison_{epoch}.png"))
     avg = meter.average()
     log(
         "\n*\n"

@@ -24,10 +24,12 @@ _SKIP_TAPS = (1, 3, 5)
 def _fused_preamble(params, x, cfg):
     """Shared guard + encoder pass for the fused nnconv5dw-skip-add
     forwards: returns (decoder_params, features, {stage: skip_tensor})."""
-    if cfg.skip != "add" or not cfg.decoder_depthwise or cfg.decoder_kernel != 5:
+    if (cfg.encoder != "mobilenet" or cfg.skip != "add"
+            or not cfg.decoder_depthwise or cfg.decoder_kernel != 5):
         raise ValueError(
-            "fused path supports the nnconv5dw skip-add family; got "
-            f"decoder={cfg.decoder!r} skip={cfg.skip!r}"
+            "fused path supports the MobileNet nnconv5dw skip-add family; "
+            f"got encoder={cfg.encoder!r} decoder={cfg.decoder!r} "
+            f"skip={cfg.skip!r}"
         )
     feats, tapped = MN.apply_encoder(
         params["encoder"], x, relu6=cfg.encoder_relu6, taps=_SKIP_TAPS,

@@ -248,6 +248,72 @@ def test_validate_empty_loader_raises(torch_ckpt):
         validate(_EmptyLoader(), ev, make_images=False, log=lambda *a: None)
 
 
+class _SlowLoader:
+    """First batch instant, later batches block 80 ms — discriminates the
+    direct loader-wait data_time measurement from the old t0-vs-end
+    arithmetic, which clamps every batch after the first to 0."""
+
+    def __init__(self, batches):
+        self.batches = batches
+        self.dataset = range(sum(c for _, _, c in batches))
+
+    def __iter__(self):
+        import time as _t
+
+        for i, b in enumerate(self.batches):
+            if i > 0:
+                _t.sleep(0.08)
+            yield b
+
+    def __len__(self):
+        return len(self.batches)
+
+
+def test_validate_data_time_measures_loader_wait(tmp_path):
+    """avg.data_time must reflect real blocking waits on the loader under
+    the one-ahead pipeline, and a short run (<400 images) must still
+    write its comparison strip at the end."""
+    from fastdepth_tpu.config import ModelConfig
+
+    model = build(ModelConfig(encoder_channels=TINY_ENC,
+                              decoder_channels=TINY_DEC))
+    import jax
+
+    params = model.fold(model.init(jax.random.PRNGKey(0)))
+    ev = Evaluator(model, params, batch_size=2, fold_bn=False)
+    rng = np.random.RandomState(0)
+    batches = [
+        (rng.rand(2, 64, 64, 3).astype(np.float32),
+         (rng.rand(2, 64, 64, 1) * 5 + 0.5).astype(np.float32), 2)
+        for _ in range(4)
+    ]
+    avg = validate(_SlowLoader(batches), ev, print_freq=0,
+                   output_dir=str(tmp_path), make_images=True,
+                   log=lambda *a: None)
+    # 3 of 4 batches waited 80 ms for 2 images each: avg/img >= ~30 ms
+    assert avg.data_time > 0.02, avg.data_time
+    assert os.path.exists(tmp_path / "comparison_0.png")
+
+
+def test_evaluator_rejects_preprocessed_depth_with_pipeline(nyu_val_root):
+    """The raw-shape trace guard must check DEPTH too: a preprocessed
+    depth next to a raw rgb would clamp-gather silently otherwise."""
+    from fastdepth_tpu.config import ModelConfig
+
+    dataset = NYUDataset(nyu_val_root, split="val", raw_items=True)
+    model = build(ModelConfig(encoder_channels=TINY_ENC,
+                              decoder_channels=TINY_DEC))
+    import jax
+
+    params = model.fold(model.init(jax.random.PRNGKey(0)))
+    ev = Evaluator(model, params, batch_size=1, fold_bn=False,
+                   val_pipeline=dataset.val_pipeline)
+    rgb = np.zeros((1, 480, 640, 3), np.float32)
+    depth = np.zeros((1, 224, 224, 1), np.float32)
+    with pytest.raises(ValueError, match="depth"):
+        ev(ev.put(rgb), ev.put(depth))
+
+
 def test_cli_mesh_args_validated_upfront(torch_ckpt, tmp_path):
     """Bad mesh arguments must fail with a clear message before any
     device work, not with a low-level sharding error on the first

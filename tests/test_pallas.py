@@ -71,6 +71,12 @@ def test_fused_rejects_unsupported_configs():
                       encoder_channels=TINY_ENC, decoder_channels=TINY_DEC)
     with pytest.raises(ValueError):
         apply_fastdepth_fused({}, jnp.zeros((1, 64, 64, 3)), cfg)
+    # encoder family must be guarded too: a resnet skip-add config would
+    # otherwise crash with an opaque KeyError inside the MobileNet walk
+    cfg_rn = ModelConfig(encoder="resnet18", skip="add",
+                         encoder_channels=TINY_ENC, decoder_channels=TINY_DEC)
+    with pytest.raises(ValueError, match="MobileNet"):
+        apply_fastdepth_fused({}, jnp.zeros((1, 64, 64, 3)), cfg_rn)
 
 
 def test_fused_chunked_matches_reference_forward(rng):
