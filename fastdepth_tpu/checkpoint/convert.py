@@ -262,34 +262,18 @@ def convert_mobilenet_plain(
     'decoder.conv{1..6}' with NNConv's dw/dense stage structure,
     models.py:224-251)."""
     enc, enc_channels = convert_mobilenet_encoder_seqname(sd)
-    dw = "decoder.conv1.0.0.weight" in sd
-    decoder: Dict = {}
-    dec_channels = []
-    for i in range(1, 6):
-        p = f"decoder.conv{i}"
-        if dw:
-            stage = {
-                "dw": _conv_bn(sd, f"{p}.0.0", f"{p}.0.1"),
-                "pw": _conv_bn(sd, f"{p}.1.0", f"{p}.1.1"),
-            }
-            cout = stage["pw"]["w"].shape[-1]
-            k = stage["dw"]["w"].shape[0]
-        else:
-            stage = {"conv": _conv_bn(sd, f"{p}.0", f"{p}.1")}
-            cout = stage["conv"]["w"].shape[-1]
-            k = stage["conv"]["w"].shape[0]
-        decoder[f"stage{i}"] = stage
-        dec_channels.append(cout)
-    decoder["final"] = {"pw": _conv_bn(sd, "decoder.conv6.0", "decoder.conv6.1")}
     # NNConv and BLConv have identical state structure; only the pickled
-    # decoder class distinguishes them (models.py:272-294)
-    kind = "blconv" if decoder_class == "BLConv" else "nnconv"
+    # decoder class distinguishes them (models.py:272-294).  The decoder
+    # mapping itself is the registry converter's NNConv branch — one
+    # implementation, not two copies to keep in sync.
+    decoder, dec_name = convert_registry_decoder(
+        sd, decoder_class if decoder_class == "BLConv" else "NNConv")
     cfg = ModelConfig(
         encoder="mobilenet",
-        decoder=f"{kind}{k}dw" if dw else f"{kind}{k}",
+        decoder=dec_name,
         skip=None,
         encoder_channels=tuple(enc_channels),
-        decoder_channels=tuple(dec_channels),
+        decoder_channels=_infer_decoder_channels(decoder, dec_name),
     )
     return {"encoder": enc, "decoder": decoder}, cfg
 
@@ -373,13 +357,18 @@ def convert_registry_decoder(
     raise NotImplementedError(f"no converter for decoder class {decoder_class!r}")
 
 
-def _infer_decoder_channels(decoder: Dict) -> tuple:
+def _infer_decoder_channels(decoder: Dict, dec_name: str = "") -> tuple:
     """Stage output channels from a converted registry-decoder tree.
 
     Shuffle decoders store stages under ``conv{i}`` and derive every
     width from ``in_channels // 4**i`` (decoders.py:93-99) — the config's
     ``decoder_channels`` field is unused for them, so the unpruned-default
-    fallback below is the correct record there."""
+    fallback below is the correct record there.
+
+    ``dec_name`` disambiguates the dense-DeConv layout: transpose-conv
+    weights are HWOI (kh, kw, cout, cin), so cout lives at ``shape[-2]``
+    there, not ``shape[-1]`` like HWIO convs."""
+    convt = dec_name.startswith("deconv") and not dec_name.endswith("dw")
     out = []
     for i in range(1, 6):
         stage = decoder.get(f"stage{i}")
@@ -388,7 +377,8 @@ def _infer_decoder_channels(decoder: Dict) -> tuple:
         if "pw" in stage:
             out.append(stage["pw"]["w"].shape[-1])
         elif "conv" in stage:
-            out.append(stage["conv"]["w"].shape[-1])
+            w = stage["conv"]["w"]
+            out.append(w.shape[-2] if convt else w.shape[-1])
         elif "branch2_conv" in stage:
             out.append(stage["branch2_conv"]["w"].shape[-1])
     from fastdepth_tpu.config import UNPRUNED_DECODER_CHANNELS
@@ -480,7 +470,7 @@ def convert_checkpoint(path: str) -> Tuple[Dict, ModelConfig, Dict]:
         # plain MobileNet with a non-conv{i}-style registry decoder
         enc, enc_channels = convert_mobilenet_encoder_seqname(sd)
         decoder, dec_name = convert_registry_decoder(sd, dec_cls)
-        dec_channels = _infer_decoder_channels(decoder)
+        dec_channels = _infer_decoder_channels(decoder, dec_name)
         params = {"encoder": enc, "decoder": decoder}
         cfg = ModelConfig(
             encoder="mobilenet", decoder=dec_name, skip=None,

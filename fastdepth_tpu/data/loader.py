@@ -64,8 +64,8 @@ class BatchLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def _load_batch(self, indices: Sequence[int]) -> Tuple[np.ndarray, np.ndarray, int]:
-        items = list(self._pool.map(self.dataset.__getitem__, indices))
+    def _load_batch(self, pool, indices: Sequence[int]) -> Tuple[np.ndarray, np.ndarray, int]:
+        items = list(pool.map(self.dataset.__getitem__, indices))
         rgb = np.stack([it[0] for it in items])
         depth = np.stack([it[1] for it in items])
         count = len(indices)
@@ -86,7 +86,10 @@ class BatchLoader:
         if self.drop_last and batches and len(batches[-1]) < self.batch_size:
             batches.pop()
 
-        self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        # the pool is LOCAL to this iterator: two live iterators over one
+        # loader (overlapping epochs, an abandoned generator held by a
+        # traceback) must not shut down or submit into each other's pool
+        pool = ThreadPoolExecutor(max_workers=self.num_workers)
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
         errors: list = []
@@ -109,7 +112,7 @@ class BatchLoader:
                 for idxs in batches:
                     if stop.is_set():
                         return
-                    batch = self._load_batch(idxs)
+                    batch = self._load_batch(pool, idxs)
                     if self.device_put is not None:
                         batch = (
                             self.device_put(batch[0]),
@@ -142,4 +145,4 @@ class BatchLoader:
                     q.get_nowait()
                 except queue.Empty:
                     break
-            self._pool.shutdown(wait=False)
+            pool.shutdown(wait=False)

@@ -43,12 +43,19 @@ def sgd_init(params) -> TrainState:
     return TrainState(params=params, momentum=zeros, step=jnp.zeros((), jnp.int32))
 
 
-def _is_weight(path: Tuple) -> bool:
-    """Weight decay applies to conv/fc weights only, not BN params/biases
-    (torch convention for this recipe)."""
+def _is_decayed(path: Tuple) -> bool:
+    """Weight decay covers every TRAINABLE parameter — conv/fc weights
+    AND biases AND BatchNorm scale/bias — because the reference-era
+    recipe is ``torch.optim.SGD(model.parameters(), weight_decay=wd)``,
+    which decays all parameters.  BN running mean/var are torch BUFFERS,
+    not parameters: never decayed (they are overwritten by the stats
+    merge each train step anyway, and decaying them on eval-only BNs
+    would corrupt inference statistics)."""
     leaf = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
     parent = path[-2].key if len(path) > 1 and hasattr(path[-2], "key") else ""
-    return leaf == "w" and parent != "bn"
+    if parent == "bn":
+        return leaf in ("scale", "bias")
+    return leaf in ("w", "b")
 
 
 def _cast_compute(params, dtype):
@@ -144,7 +151,7 @@ def make_train_step(
             # weight decay BEFORE the finite gate: on a skipped step the
             # effective grad (incl. decay) must be exactly zero so the
             # momentum buffer doesn't absorb wd*p.
-            if cfg.weight_decay and _is_weight(path):
+            if cfg.weight_decay and _is_decayed(path):
                 g = g + cfg.weight_decay * p
             if skip_nonfinite:
                 g = jnp.where(finite, g, jnp.zeros_like(g))
@@ -177,7 +184,10 @@ def train_step(model: Model, cfg: TrainConfig):
 
 
 def step_lr(cfg: TrainConfig, epoch: int) -> float:
-    """Step decay: lr * gamma^(epoch // step) (FastDepth recipe)."""
+    """Step decay: lr * gamma^(epoch // step) (FastDepth recipe).  A
+    non-positive ``lr_decay_step`` means "no decay"."""
+    if cfg.lr_decay_step <= 0:
+        return cfg.lr
     return cfg.lr * (cfg.lr_decay_gamma ** (epoch // cfg.lr_decay_step))
 
 
@@ -259,6 +269,13 @@ class Trainer:
         total = None
         n = 0
         for i, (rgb, depth, count) in enumerate(loader):
+            if count != rgb.shape[0]:
+                raise ValueError(
+                    f"run_epoch got a padded batch ({count} real rows in a "
+                    f"batch of {rgb.shape[0]}): the zero rows would enter "
+                    f"the BN batch statistics and couple real-row gradients "
+                    f"to padding. Build the train loader with "
+                    f"drop_last=True, pad_last=False (cli.train does).")
             if self.mesh is not None:
                 from fastdepth_tpu.parallel.mesh import put_sharded
 

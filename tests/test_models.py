@@ -270,6 +270,53 @@ def test_plain_mobilenet_nnconv_converter_parity(dw, tmp_path):
     )
 
 
+def test_plain_mobilenet_dense_deconv_channels_and_parity(tmp_path):
+    """Plain MobileNet + DENSE DeConv: transpose-conv weights are HWOI,
+    so the converter must record stage OUTPUT channels from shape[-2]
+    (regression: it once recorded the cin list, so rebuilding from the
+    saved config mismatched the converted weights).  Non-default widths
+    make the bug observable; forward parity closes the loop."""
+    import torch.nn as nn
+
+    import torch_oracle as TO
+    from fastdepth_tpu.checkpoint.convert import convert_checkpoint
+    from torch_oracle import TorchMobileNetNNConv
+
+    k = 3
+    tm_base = TorchMobileNetNNConv(TINY_ENC, TINY_DEC, k=5, dw=True)
+    dec = TO.DeConv()
+    specs = list(zip((TINY_ENC[-1],) + TINY_DEC[:4], TINY_DEC))
+    for i, (cin, cout) in enumerate(specs, 1):
+        setattr(dec, f"convt{i}", nn.Sequential(
+            nn.ConvTranspose2d(cin, cout, k, 2, (k - 1) // 2, k % 2,
+                               bias=False),
+            nn.BatchNorm2d(cout), nn.ReLU(inplace=True)))
+    dec.convf = nn.Sequential(nn.Conv2d(TINY_DEC[-1], 1, 1, bias=False),
+                              nn.BatchNorm2d(1), nn.ReLU(inplace=True))
+    tm_base.decoder = dec
+    tm = tm_base.eval()
+    gen = torch.Generator().manual_seed(11)
+    randomize_bn_stats(tm, gen)
+
+    path = str(tmp_path / "mdd.pth.tar")
+    torch.save({"epoch": 2, "best_result": None, "model": tm}, path)
+    params, cfg, _ = convert_checkpoint(path)
+    assert cfg.decoder == "deconv3"
+    assert cfg.decoder_channels == TINY_DEC  # couts, not the cin list
+    assert cfg.encoder_channels == TINY_ENC
+
+    x = torch.randn(1, 3, 64, 64, generator=gen)
+    with torch.no_grad():
+        y = tm.mobilenet(x)  # the DeConv shell carries layers, no forward
+        for i in range(1, 6):
+            y = getattr(dec, f"convt{i}")(y)
+        ref = dec.convf(y).numpy()
+    out = build(cfg).apply(
+        numpy_to_jax(params), jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(ref, np.asarray(out).transpose(0, 3, 1, 2),
+                               atol=1e-3)
+
+
 @pytest.mark.parametrize("dec_name,dec_cls", [
     ("deconv3", "DeConv"), ("deconv3dw", "DeConv"),
     ("upconv", "UpConv"), ("upproj", "UpProj"), ("blconv3", "BLConv"),

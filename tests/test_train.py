@@ -234,11 +234,84 @@ def test_mesh_bf16_training_matches_single_device(rng):
     assert float(loss_m2) < float(loss_m)
 
 
+def test_weight_decay_covers_all_trainable_params():
+    """torch.optim.SGD(model.parameters(), weight_decay=wd) — the
+    reference-era recipe — decays EVERY parameter: conv/fc weights,
+    biases, and BN scale/bias.  BN running mean/var are buffers, never
+    decayed."""
+    import jax.tree_util as jtu
+
+    from fastdepth_tpu.train.trainer import _is_decayed
+
+    model = build(CFG)
+    params = model.init(jax.random.PRNGKey(0))
+    decayed, spared = set(), set()
+    for path, _ in jtu.tree_flatten_with_path(params)[0]:
+        leaf = path[-1].key
+        parent = path[-2].key if len(path) > 1 else ""
+        (decayed if _is_decayed(path) else spared).add((parent, leaf))
+    assert all(leaf in ("mean", "var") and parent == "bn"
+               for parent, leaf in spared), spared
+    assert ("bn", "scale") in decayed and ("bn", "bias") in decayed
+    assert any(leaf == "w" for _, leaf in decayed)
+
+
+def test_run_epoch_rejects_padded_batches(rng):
+    """A padded final batch would feed zero rows into the BN batch
+    statistics; run_epoch must refuse it with instructions rather than
+    silently corrupt the running stats."""
+    model = build(CFG)
+    t = Trainer(model, model.init(jax.random.PRNGKey(0)), TrainConfig(lr=0.01))
+
+    class _PaddedLoader:
+        dataset = range(3)
+
+        def __iter__(self):
+            rgb = np.zeros((4, 32, 32, 3), np.float32)
+            depth = np.ones((4, 32, 32, 1), np.float32)
+            yield rgb, depth, 3  # 3 real rows in a batch of 4
+
+        def __len__(self):
+            return 1
+
+    with pytest.raises(ValueError, match="padded"):
+        t.run_epoch(_PaddedLoader(), 0, log=lambda *a: None)
+
+
+def test_loader_iterators_are_isolated(rng):
+    """Two live iterators over ONE BatchLoader must not shut down or
+    submit into each other's worker pool (regression: the pool was
+    shared instance state)."""
+    from fastdepth_tpu.data.loader import BatchLoader
+
+    class _DS:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            return (np.full((4, 4, 3), i, np.float32),
+                    np.full((4, 4, 1), i, np.float32))
+
+    loader = BatchLoader(_DS(), batch_size=2, num_workers=2, prefetch=1)
+    it1 = iter(loader)
+    next(it1)
+    it2 = iter(loader)          # second epoch starts while it1 lives
+    del it1                     # finalize it1 (its pool, not it2's)
+    import gc
+
+    gc.collect()
+    batches = list(it2)         # must complete the full epoch
+    assert len(batches) == 4
+    assert all(c == 2 for _, _, c in batches)
+
+
 def test_step_lr_schedule():
     tc = TrainConfig(lr=0.01, lr_decay_step=5, lr_decay_gamma=0.2)
     assert step_lr(tc, 0) == 0.01
     assert abs(step_lr(tc, 5) - 0.002) < 1e-12
     assert abs(step_lr(tc, 10) - 0.0004) < 1e-12
+    # non-positive step = "no decay", not ZeroDivisionError
+    assert step_lr(TrainConfig(lr=0.01, lr_decay_step=0), 7) == 0.01
 
 
 def test_remat_step_matches_plain(rng):
