@@ -402,18 +402,24 @@ class Rotate:
         return rotate(img, self.angle)
 
 
+def _as_hw(size) -> tuple:
+    """int -> square (h, w); sequence -> tuple (the reference's crop-size
+    normalization, transforms.py:353-357/:416-420) — shared so the two
+    crop classes can't drift."""
+    import numbers
+
+    if isinstance(size, numbers.Number):
+        return (int(size), int(size))
+    return tuple(size)
+
+
 class CenterCrop:
     """Reference transforms.py:344-405 (banker's-rounded offsets).
     ``size``: sequence (h, w), or an int for a square crop
     (reference :353-357)."""
 
     def __init__(self, size):
-        import numbers
-
-        if isinstance(size, numbers.Number):
-            self.size = (int(size), int(size))
-        else:
-            self.size = tuple(size)
+        self.size = _as_hw(size)
 
     def __call__(self, img: np.ndarray) -> np.ndarray:
         return center_crop(img, self.size)
@@ -424,12 +430,7 @@ class BottomCrop:
     an int for a square crop (reference :416-420)."""
 
     def __init__(self, size):
-        import numbers
-
-        if isinstance(size, numbers.Number):
-            self.size = (int(size), int(size))
-        else:
-            self.size = tuple(size)
+        self.size = _as_hw(size)
 
     def __call__(self, img: np.ndarray) -> np.ndarray:
         return bottom_crop(img, self.size)

@@ -14,6 +14,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from fastdepth_tpu.models.registry import Model
 
@@ -26,6 +27,10 @@ def _pick_apply(model: Model, params, impl: str, batch_size: int = 2):
     (fold_bn=False callers) still get the fast path."""
     from fastdepth_tpu.models import fused as F
 
+    if impl not in ("auto", "opt", "xla"):
+        # a typo'd impl would otherwise silently time the straight graph
+        # while the operator believes they measured the opt path
+        raise ValueError(f"impl must be 'auto', 'opt' or 'xla', got {impl!r}")
     folded = not F.tree_has_bn(params)
     if impl == "opt" and not folded:
         raise ValueError(
@@ -83,7 +88,11 @@ def compile_forward(
     params, forward, p_spec, x_spec = _prepare(
         model, params, batch_size=batch_size, image_size=image_size,
         dtype=dtype, fold_bn=fold_bn, impl=impl)
-    compiled = jax.jit(forward).lower(p_spec, x_spec).compile()
+    # donate the INPUT frame buffer only (arg 1); params are reused
+    # across calls.  Measured effect on this platform: docs/b1_latency.md
+    # (the fp32-in/bf16-compute path never aliases, so XLA may ignore it)
+    jit_kwargs = {"donate_argnums": (1,)} if donate else {}
+    compiled = jax.jit(forward, **jit_kwargs).lower(p_spec, x_spec).compile()
     return compiled, params
 
 
@@ -118,7 +127,9 @@ def save_bundle(
         f.write(exported.serialize())
     save_checkpoint(path_prefix + ".npz", params, model.config,
                     extra={"bundle": True, "batch_size": batch_size,
-                           "image_size": list(image_size), "dtype": str(dtype.__name__)})
+                           "image_size": list(image_size),
+                           # np.dtype instances / strings lack __name__
+                           "dtype": np.dtype(dtype).name})
 
 
 def load_bundle(path_prefix: str):

@@ -1,7 +1,11 @@
 """The decoder family registry.
 
-Reference models.py:135-360 defines six decoder styles, each a 5-stage
-pyramid 1024 -> 512 -> 256 -> 128 -> 64 -> 32 -> pointwise(32, 1):
+Reference models.py:135-360 defines six decoder styles.  Five are
+5-stage pyramids 1024 -> 512 -> 256 -> 128 -> 64 -> 32 -> pointwise(32, 1);
+``shuffle`` instead derives every width from ``in_channels // 4**i``
+(pixel-shuffle divides channels by 4 per stage) and ends in a BARE final
+pixel-shuffle with no pointwise head (reference models.py:296-333), so
+the config's channel list is unused there:
 
 * ``deconv{k}[dw]``  — stride-2 transpose convs           (models.py:145-180)
 * ``upconv``         — zero-unpool + 5x5 conv             (models.py:183-201)
@@ -70,10 +74,11 @@ def _init_stage(key, kind: str, k: int, dw: bool, cin: int, cout: int) -> Dict:
 
 
 def _apply_conv_stage(
-    x: Array, p: Dict, k: int, *, train=False, stats=None, path=()
+    x: Array, p: Dict, *, train=False, stats=None, path=()
 ) -> Array:
     """conv or depthwise+pointwise stage with BN+ReLU each
-    (reference models.py:52-75)."""
+    (reference models.py:52-75).  Kernel size is baked into the params
+    at init time — nothing here depends on it."""
     if "dw" in p:
         x = L.apply_conv_bn(x, p["dw"], depthwise=True, train=train, stats=stats, path=path + ("dw",))
         x = L.apply_conv_bn(x, p["pw"], train=train, stats=stats, path=path + ("pw",))
@@ -98,6 +103,13 @@ def init_decoder(
             cin //= 4
             params[f"conv{i}"] = _init_stage(keys[i], "nnconv", k, dw, cin, cin)
         return params
+    if len(channels) != 5:
+        # apply_decoder walks exactly stage1..5 + final: a longer list
+        # would silently orphan stages (and reuse 'final's RNG key), a
+        # shorter one would die later with an opaque KeyError
+        raise ValueError(
+            f"decoder {name!r} takes exactly 5 stage channels, got "
+            f"{len(channels)}: {tuple(channels)}")
     cin = in_channels
     for i, cout in enumerate(channels, start=1):
         params[f"stage{i}"] = _init_stage(keys[i], kind, k, dw, cin, cout)
@@ -119,7 +131,7 @@ def apply_decoder(
     if kind == "shuffle":
         for i in range(1, 5):
             x = B.pixel_shuffle(x, 2)
-            x = _apply_conv_stage(x, params[f"conv{i}"], k, train=train, stats=stats, path=(f"conv{i}",))
+            x = _apply_conv_stage(x, params[f"conv{i}"], train=train, stats=stats, path=(f"conv{i}",))
         return B.pixel_shuffle(x, 2)
 
     for i in range(1, 6):
@@ -149,10 +161,10 @@ def apply_decoder(
             b2 = L.apply_conv_bn(x, p["branch2_conv"], act=None, train=train, stats=stats, path=path + ("branch2_conv",))
             x = B.relu(b1 + b2)
         elif kind == "nnconv":
-            x = _apply_conv_stage(x, p, k, train=train, stats=stats, path=path)
+            x = _apply_conv_stage(x, p, train=train, stats=stats, path=path)
             x = B.upsample_nearest2x(x)
         elif kind == "blconv":
-            x = _apply_conv_stage(x, p, k, train=train, stats=stats, path=path)
+            x = _apply_conv_stage(x, p, train=train, stats=stats, path=path)
             x = B.upsample_bilinear2x(x)
         else:  # pragma: no cover
             raise ValueError(kind)

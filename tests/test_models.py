@@ -317,6 +317,50 @@ def test_plain_mobilenet_dense_deconv_channels_and_parity(tmp_path):
                                atol=1e-3)
 
 
+def test_plain_mobilenet_shuffle_decoder_parity(tmp_path):
+    """ShuffleConv value parity vs torch (reference models.py:296-333:
+    shuffle-then-conv x4 at in/4^i widths, then a bare final shuffle, no
+    pointwise head) — previously shape-only tested.  Needs a 1024-wide
+    bottleneck: the five shuffles divide channels by 4^5."""
+    import torch.nn as nn
+
+    import torch_oracle as TO
+    from fastdepth_tpu.checkpoint.convert import convert_checkpoint
+    from torch_oracle import TorchMobileNetNNConv
+
+    enc1024 = TINY_ENC[:13] + (1024,)
+    tm_base = TorchMobileNetNNConv(enc1024, TINY_DEC, k=5, dw=True)
+    dec = TO.ShuffleConv()
+    k = 3
+    for i, c in enumerate((256, 64, 16, 4), 1):
+        setattr(dec, f"conv{i}", nn.Sequential(
+            nn.Conv2d(c, c, k, 1, (k - 1) // 2, bias=False),
+            nn.BatchNorm2d(c), nn.ReLU(inplace=True)))
+    tm_base.decoder = dec
+    tm = tm_base.eval()
+    gen = torch.Generator().manual_seed(12)
+    randomize_bn_stats(tm, gen)
+
+    path = str(tmp_path / "msh.pth.tar")
+    torch.save({"epoch": 1, "best_result": None, "model": tm}, path)
+    params, cfg, _ = convert_checkpoint(path)
+    assert cfg.decoder == "shuffle3"
+    assert cfg.encoder_channels == enc1024
+
+    import torch.nn.functional as TF
+
+    x = torch.randn(1, 3, 64, 64, generator=gen)
+    with torch.no_grad():
+        y = tm.mobilenet(x)
+        for i in range(1, 5):
+            y = getattr(dec, f"conv{i}")(TF.pixel_shuffle(y, 2))
+        ref = TF.pixel_shuffle(y, 2).numpy()
+    out = build(cfg).apply(
+        numpy_to_jax(params), jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(ref, np.asarray(out).transpose(0, 3, 1, 2),
+                               atol=1e-3)
+
+
 @pytest.mark.parametrize("dec_name,dec_cls", [
     ("deconv3", "DeConv"), ("deconv3dw", "DeConv"),
     ("upconv", "UpConv"), ("upproj", "UpProj"), ("blconv3", "BLConv"),

@@ -321,6 +321,10 @@ class BLConv(nn.Module):
     pass
 
 
+class ShuffleConv(nn.Module):
+    pass
+
+
 def randomize_bn_stats(model: nn.Module, gen: torch.Generator):
     """Give BN layers nontrivial running stats so eval-mode parity tests
     exercise the real normalization math."""
