@@ -26,6 +26,11 @@ _SEP = "/"
 def flatten_tree(tree: Dict, prefix: str = "") -> Dict[str, np.ndarray]:
     flat: Dict[str, np.ndarray] = {}
     for k, v in tree.items():
+        if _SEP in str(k):
+            # a separator inside a key would silently restructure the
+            # tree on round-trip (unflatten splits on it) — fail loudly
+            raise ValueError(
+                f"tree key {k!r} contains the flatten separator {_SEP!r}")
         key = f"{prefix}{_SEP}{k}" if prefix else k
         if isinstance(v, dict):
             flat.update(flatten_tree(v, key))
@@ -83,6 +88,10 @@ def save_checkpoint(
 
 
 def load_checkpoint(path: str) -> Tuple[Dict, ModelConfig, Dict[str, Any]]:
+    # same normalization as save_checkpoint, so a suffix-less path
+    # round-trips: save('run/ckpt') writes run/ckpt.npz
+    if not str(path).endswith(".npz") and not os.path.exists(path):
+        path = str(path) + ".npz"
     with np.load(path) as data:
         meta = json.loads(bytes(data["__meta__"]).decode())
         flat = {k: data[k] for k in data.files if k != "__meta__"}
@@ -152,6 +161,10 @@ def numpy_to_jax(tree, dtype=None):
     if isinstance(tree, dict):
         return {k: numpy_to_jax(v, dtype) for k, v in tree.items()}
     arr = jnp.asarray(tree)
-    if dtype is not None and np.issubdtype(np.asarray(tree).dtype, np.floating):
+    # kind 'V' covers ml_dtypes floats (bfloat16/float8) — numpy's
+    # issubdtype does NOT class them as floating (same convention as
+    # save_checkpoint's custom-dtype handling)
+    if dtype is not None and (np.issubdtype(arr.dtype, np.floating)
+                              or np.dtype(arr.dtype).kind == "V"):
         arr = arr.astype(dtype)
     return arr

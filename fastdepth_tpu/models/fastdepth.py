@@ -39,6 +39,13 @@ def init_fastdepth(key: jax.Array, cfg: ModelConfig) -> Dict:
     }
     enc = cfg.encoder_channels
     dec = cfg.decoder_channels
+    if len(dec) != 5:
+        # apply_fastdepth walks exactly decode_conv1..5 + decode_conv6:
+        # a longer list would orphan stages and reuse the final conv's
+        # RNG key, a shorter one dies later with an opaque KeyError
+        raise ValueError(
+            f"decoder_channels must have exactly 5 entries, got "
+            f"{len(dec)}: {tuple(dec)}")
     k = cfg.decoder_kernel
     keys = jax.random.split(k_dec, 6)
     cin = enc[-1]
@@ -115,16 +122,9 @@ def apply_fastdepth(
     )
 
 
-def _sub_stats(stats, prefix):
-    """Adapter that prefixes stat paths written by sub-modules."""
-    if stats is None:
-        return None
-
-    class _Prefixed(dict):
-        def __setitem__(self, key, value):
-            stats[(prefix,) + key] = value
-
-    return _Prefixed()
+# stats plumbing lives in layers.py (shared by every model family);
+# kept as a module name for back-compat with older imports
+_sub_stats = L.sub_stats
 
 
 def init_mobilenet_decoder(key: jax.Array, cfg: ModelConfig) -> Dict:

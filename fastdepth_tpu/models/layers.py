@@ -24,6 +24,19 @@ Array = jax.Array
 StatsDict = MutableMapping[Tuple[str, ...], Dict[str, Array]]
 
 
+def sub_stats(stats: Optional[StatsDict], prefix: str):
+    """Adapter that prefixes stat paths written by sub-modules — shared
+    stats plumbing for every model family."""
+    if stats is None:
+        return None
+
+    class _Prefixed(dict):
+        def __setitem__(self, key, value):
+            stats[(prefix,) + key] = value
+
+    return _Prefixed()
+
+
 def apply_conv_bn(
     x: Array,
     p: Dict,
@@ -45,8 +58,16 @@ def apply_conv_bn(
             output_padding=output_padding, groups=groups, bias=p.get("b"),
         )
     elif depthwise:
+        if groups != 1:
+            raise ValueError(
+                "groups is only plumbed through the transpose path; "
+                "depthwise convs group implicitly (one group per channel)")
         y = B.depthwise_conv2d(x, p["w"], stride=stride, padding=padding, bias=p.get("b"))
     else:
+        if groups != 1:
+            raise ValueError(
+                "groups is only plumbed through the transpose path; "
+                "grouped forward convs are not implemented")
         y = B.conv2d(x, p["w"], stride=stride, padding=padding, bias=p.get("b"))
     if "bn" in p:
         if train:

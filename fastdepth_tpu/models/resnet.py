@@ -163,7 +163,9 @@ def init_resnet_depth(key: jax.Array, cfg: ModelConfig) -> Dict:
                   "b": jnp.zeros((1024,))},
     }
     if cfg.skip is None:
-        params["decoder"] = D.init_decoder(k_dec, cfg.decoder, in_channels=1024)
+        params["decoder"] = D.init_decoder(
+            k_dec, cfg.decoder, in_channels=1024,
+            channels=cfg.decoder_channels)
         return params
 
     # dense 5x5 decoder (models.py:502-507 / 598-603)
@@ -216,10 +218,9 @@ def apply_resnet_depth(
     stats: Optional[L.StatsDict] = None,
 ) -> Array:
     layers = int(cfg.encoder.replace("resnet", ""))
-    from fastdepth_tpu.models.fastdepth import _sub_stats
 
     feats, taps = apply_resnet_encoder(
-        params["encoder"], x, layers, train=train, stats=_sub_stats(stats, "encoder"),
+        params["encoder"], x, layers, train=train, stats=L.sub_stats(stats, "encoder"),
     )
     x1, x3, x4, x5, x6 = taps
     x7 = B.conv2d(feats, params["conv2"]["w"], bias=params["conv2"]["b"])
@@ -227,7 +228,7 @@ def apply_resnet_depth(
     dec = params["decoder"]
     if cfg.skip is None:
         return D.apply_decoder(dec, cfg.decoder, x7, train=train,
-                               stats=_sub_stats(stats, "decoder"))
+                               stats=L.sub_stats(stats, "decoder"))
 
     def dc(i, v):
         p = dec[f"decode_conv{i}"]

@@ -121,3 +121,40 @@ def test_save_load_bfloat16_params(tmp_path):
     )
     back = numpy_to_jax(loaded)
     assert back["a"].dtype == jnp.bfloat16
+
+
+def test_numpy_to_jax_casts_mldtypes_floats():
+    """dtype= must cast bfloat16/float8 leaves too: numpy classes
+    ml_dtypes as kind 'V', not np.floating (regression: bf16 leaves
+    silently survived a requested fp32 cast)."""
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    tree = {"a": np.arange(4).astype(ml_dtypes.bfloat16),
+            "b": np.ones(2, np.float32), "i": np.ones(2, np.int32)}
+    out = numpy_to_jax(tree, dtype=jnp.float32)
+    assert out["a"].dtype == jnp.float32
+    assert out["b"].dtype == jnp.float32
+    assert out["i"].dtype == jnp.int32  # ints never cast
+
+
+def test_save_load_suffixless_path_roundtrip(tmp_path):
+    """save appends .npz when missing; load must apply the same
+    normalization so the exact string the caller saved with loads."""
+    from fastdepth_tpu.config import ModelConfig
+
+    prefix = str(tmp_path / "ckpt")
+    save_checkpoint(prefix, {"a": np.ones((2,), np.float32)}, ModelConfig())
+    loaded, _, _ = load_checkpoint(prefix)
+    np.testing.assert_array_equal(loaded["a"], np.ones((2,), np.float32))
+
+
+def test_flatten_rejects_separator_in_key():
+    """A '/' inside a tree key would silently restructure the tree on
+    round-trip; flatten must fail loudly instead."""
+    import pytest
+
+    from fastdepth_tpu.checkpoint.io import flatten_tree
+
+    with pytest.raises(ValueError, match="separator"):
+        flatten_tree({"bad/key": np.ones(1)})

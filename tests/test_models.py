@@ -317,6 +317,30 @@ def test_plain_mobilenet_dense_deconv_channels_and_parity(tmp_path):
                                atol=1e-3)
 
 
+def test_resnet_plain_honors_decoder_channels():
+    """Custom decoder widths on the no-skip ResNet path must reach the
+    initialized stage params (regression: init_resnet_depth dropped
+    cfg.decoder_channels and silently built the unpruned defaults)."""
+    import jax
+
+    cfg = ModelConfig(encoder="resnet18", decoder="nnconv5", skip=None,
+                      decoder_channels=(256, 128, 64, 32, 16))
+    params = build(cfg).init(jax.random.PRNGKey(0))
+    for i, cout in enumerate(cfg.decoder_channels, 1):
+        assert params["decoder"][f"stage{i}"]["conv"]["w"].shape[-1] == cout
+
+
+def test_fastdepth_rejects_wrong_channel_count():
+    """decoder_channels must have exactly 5 entries: a longer list would
+    orphan stages and reuse the final conv's RNG key."""
+    import jax
+
+    cfg = ModelConfig(encoder_channels=TINY_ENC,
+                      decoder_channels=TINY_DEC + (4,), skip=None)
+    with pytest.raises(ValueError, match="5"):
+        build(cfg).init(jax.random.PRNGKey(0))
+
+
 def test_plain_mobilenet_shuffle_decoder_parity(tmp_path):
     """ShuffleConv value parity vs torch (reference models.py:296-333:
     shuffle-then-conv x4 at in/4^i widths, then a bare final shuffle, no
