@@ -99,6 +99,15 @@ class TrainPipeline:
         self._rows2 = T.nearest_resize_indices(th, output_size[0])
         self._cols2 = T.nearest_resize_indices(tw, output_size[1])
         self._cols2_flipped = (tw - 1) - self._cols2
+        # flat-index plane at the post-first-resize size, and the flat
+        # map small->raw composing that first resize: rotating the PLANE
+        # with the same scipy call as the image (order-0 picks source
+        # pixels, value-independent) turns the whole geometry into one
+        # raw->output gather (see composed_indices)
+        self._index_plane = np.arange(
+            self.h1 * self.w1, dtype=np.int64).reshape(self.h1, self.w1)
+        self._small_to_raw = (
+            self.rows1[:, None] * w + self.cols1[None, :]).ravel()
 
     def post_rotate_indices(self, s: TrainSample) -> Tuple[np.ndarray, np.ndarray]:
         hs, ws = T.imresize_output_size(self.h1, self.w1, s.scale)
@@ -110,6 +119,30 @@ class TrainPipeline:
         # (np.fliplr at nyu.py:39 via transforms.py:485-510)
         cols2 = self._cols2_flipped if s.do_flip else self._cols2
         return rows_s[i0 + self._rows2], cols_s[j0 + cols2]
+
+    def composed_indices(
+        self, s: TrainSample
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """The WHOLE train geometry (first resize -> rotate -> scale
+        resize -> crop -> flip -> final resize) as ONE flat raw->output
+        index map plus the rotation's zero-pad mask.
+
+        Order-0 rotation selects source pixels independently of their
+        values, so rotating a flat-index plane with the SAME scipy call
+        (reference transforms.py:306-308 semantics; cval=-1 marks the
+        constant-pad region) yields bit-identical pixel selection while
+        rotating ONE int plane instead of four image channels — the
+        rotate was ~60% of per-item host time (docs/kernel_notes.md,
+        host-pipeline section)."""
+        from scipy import ndimage
+
+        rot = ndimage.rotate(self._index_plane, s.angle, reshape=False,
+                             prefilter=False, order=0, cval=-1)
+        rows, cols = self.post_rotate_indices(s)
+        flat_small = rot[rows][:, cols]
+        mask = flat_small < 0
+        flat_raw = self._small_to_raw[np.where(mask, 0, flat_small)]
+        return flat_raw, mask
 
     def __call__(
         self,
@@ -124,14 +157,11 @@ class TrainPipeline:
             raise ValueError(
                 "color_jitter needs an explicit rng (ColorJitter draws "
                 "its factors from it)")
-        depth = depth / sample.scale  # nyu.py:28
-        rgb_small = rgb[self.rows1][:, self.cols1]
-        depth_small = depth[self.rows1][:, self.cols1]
-        rgb_rot = T.rotate(rgb_small, sample.angle)
-        depth_rot = T.rotate(depth_small, sample.angle)
-        rows, cols = self.post_rotate_indices(sample)
-        rgb_out = rgb_rot[rows][:, cols]
-        depth_out = depth_rot[rows][:, cols]
+        flat, mask = self.composed_indices(sample)
+        rgb_out = np.asarray(rgb).reshape(-1, rgb.shape[-1])[flat]
+        rgb_out[mask] = 0  # the rotation's constant pad (cval=0)
+        depth_out = np.asarray(depth).reshape(-1)[flat] / sample.scale  # nyu.py:28
+        depth_out[mask] = 0.0
         if color_jitter is not None:
             rgb_out = color_jitter(np.ascontiguousarray(rgb_out), rng)
         return (

@@ -502,10 +502,51 @@ def adjust_hue(img: np.ndarray, factor: float) -> np.ndarray:
     return np.array(Image.merge("HSV", (h, s, v)).convert("RGB"))
 
 
+def _pil_value_strip():
+    """(1, 256, 3) uint8 RGB image holding every channel value once."""
+    return np.broadcast_to(
+        np.arange(256, dtype=np.uint8)[None, :, None], (1, 256, 3)).copy()
+
+
+def _blend_lut(degenerate_rgb: Tuple[int, int, int], factor: float) -> np.ndarray:
+    """256-entry value map of ``Image.blend(degenerate, img, factor)`` —
+    built BY PIL on a strip of all 256 values, so it reproduces
+    ImageEnhance's exact per-band arithmetic (incl. its float rounding
+    and clipping) by construction rather than by reimplementation."""
+    from PIL import Image
+
+    strip = Image.fromarray(_pil_value_strip())
+    degenerate = Image.new("RGB", strip.size, degenerate_rgb)
+    return np.array(Image.blend(degenerate, strip, factor))[0, :, 0]
+
+
+def adjust_brightness_fast(img: np.ndarray, factor: float) -> np.ndarray:
+    """== :func:`adjust_brightness` (ImageEnhance.Brightness degenerate is
+    black), applied as one LUT take instead of a PIL round trip."""
+    return _blend_lut((0, 0, 0), factor)[img]
+
+
+def adjust_contrast_fast(img: np.ndarray, factor: float) -> np.ndarray:
+    """== :func:`adjust_contrast`: degenerate is a solid gray at
+    ``int(mean(L) + 0.5)`` (PIL ImageEnhance.Contrast).  The L conversion
+    stays a PIL call (its fixed-point coefficients are version-owned);
+    the mean over the uint8 L plane is integer-exact in float64."""
+    from PIL import Image
+
+    l_mean = int(np.asarray(
+        Image.fromarray(img).convert("L"), np.float64).mean() + 0.5)
+    return _blend_lut((l_mean, l_mean, l_mean), factor)[img]
+
+
 class ColorJitter:
     """Random brightness/contrast/saturation/hue in random order
     (reference transforms.py:513-578; NYU uses (0.4, 0.4, 0.4),
-    dataloader.py:46).  Takes an explicit RandomState for determinism."""
+    dataloader.py:46).  Takes an explicit RandomState for determinism.
+
+    Brightness/contrast apply as ``*_fast`` LUT forms — bit-identical to
+    the PIL-direct ``adjust_*`` functions (the LUTs are built by PIL
+    itself; equality is sweep-tested) at ~2x less per-item cost
+    (docs/kernel_notes.md, host-pipeline section)."""
 
     def __init__(self, brightness=0.0, contrast=0.0, saturation=0.0, hue=0.0):
         self.brightness = brightness
@@ -517,12 +558,15 @@ class ColorJitter:
         ops = []
         if self.brightness > 0:
             f = rng.uniform(max(0, 1 - self.brightness), 1 + self.brightness)
-            ops.append(lambda im, f=f: adjust_brightness(im, f))
+            ops.append(lambda im, f=f: adjust_brightness_fast(im, f))
         if self.contrast > 0:
             f = rng.uniform(max(0, 1 - self.contrast), 1 + self.contrast)
-            ops.append(lambda im, f=f: adjust_contrast(im, f))
+            ops.append(lambda im, f=f: adjust_contrast_fast(im, f))
         if self.saturation > 0:
             f = rng.uniform(max(0, 1 - self.saturation), 1 + self.saturation)
+            # saturation's degenerate is per-pixel (the L gray), so its
+            # value map is 2-D; the fancy-index apply measured SLOWER
+            # than PIL's C blend — it stays PIL-direct
             ops.append(lambda im, f=f: adjust_saturation(im, f))
         if self.hue > 0:
             f = rng.uniform(-self.hue, self.hue)

@@ -226,6 +226,22 @@ def test_resize_interp_2d_uint8_takes_pil_L_path(rng):
     assert T.resize(g, (20, 24), "bilinear", mode="F").dtype == np.float32
 
 
+def test_enhance_lut_forms_match_pil_direct(rng):
+    """adjust_{brightness,contrast}_fast (the LUT forms ColorJitter
+    applies) == the PIL-direct functions, exactly, across factors
+    spanning the NYU jitter range and beyond (incl. extrapolating >1
+    and degenerate 0)."""
+    img = (rng.rand(96, 96, 3) * 255).astype(np.uint8)
+    edge = np.zeros((4, 4, 3), np.uint8)
+    edge[..., 0] = 255  # saturated channel corners
+    for f in (0.0, 0.6, 0.83, 1.0, 1.17, 1.4, 2.0):
+        for im in (img, edge):
+            np.testing.assert_array_equal(
+                T.adjust_brightness(im, f), T.adjust_brightness_fast(im, f))
+            np.testing.assert_array_equal(
+                T.adjust_contrast(im, f), T.adjust_contrast_fast(im, f))
+
+
 def test_color_jitter_deterministic_and_valid(rng):
     img = (rng.rand(32, 32, 3) * 255).astype(np.uint8)
     cj = T.ColorJitter(0.4, 0.4, 0.4)
