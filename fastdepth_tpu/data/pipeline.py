@@ -99,13 +99,10 @@ class TrainPipeline:
         self._rows2 = T.nearest_resize_indices(th, output_size[0])
         self._cols2 = T.nearest_resize_indices(tw, output_size[1])
         self._cols2_flipped = (tw - 1) - self._cols2
-        # flat-index plane at the post-first-resize size, and the flat
-        # map small->raw composing that first resize: rotating the PLANE
-        # with the same scipy call as the image (order-0 picks source
-        # pixels, value-independent) turns the whole geometry into one
+        # flat map small->raw composing the first resize: the rotation's
+        # index plane (order-0 picks source pixels value-independently)
+        # chains through this to turn the whole geometry into one
         # raw->output gather (see composed_indices)
-        self._index_plane = np.arange(
-            self.h1 * self.w1, dtype=np.int64).reshape(self.h1, self.w1)
         self._small_to_raw = (
             self.rows1[:, None] * w + self.cols1[None, :]).ravel()
 
@@ -128,16 +125,13 @@ class TrainPipeline:
         index map plus the rotation's zero-pad mask.
 
         Order-0 rotation selects source pixels independently of their
-        values, so rotating a flat-index plane with the SAME scipy call
-        (reference transforms.py:306-308 semantics; cval=-1 marks the
+        values, so a flat-index gather map with scipy's exact rotate
+        semantics (reference transforms.py:306-308; -1 marks the
         constant-pad region) yields bit-identical pixel selection while
-        rotating ONE int plane instead of four image channels — the
-        rotate was ~60% of per-item host time (docs/kernel_notes.md,
-        host-pipeline section)."""
-        from scipy import ndimage
-
-        rot = ndimage.rotate(self._index_plane, s.angle, reshape=False,
-                             prefilter=False, order=0, cval=-1)
+        computing ONE index plane instead of rotating four image
+        channels — the rotate was ~60% of per-item host time
+        (docs/kernel_notes.md, host-pipeline section)."""
+        rot = T.rotate_nearest_indices(self.h1, self.w1, s.angle)
         rows, cols = self.post_rotate_indices(s)
         flat_small = rot[rows][:, cols]
         mask = flat_small < 0

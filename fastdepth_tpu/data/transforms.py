@@ -276,6 +276,38 @@ def rotate(img: np.ndarray, angle: float) -> np.ndarray:
     return ndimage.rotate(img, angle, reshape=False, prefilter=False, order=0)
 
 
+def rotate_nearest_indices(h: int, w: int, angle: float) -> np.ndarray:
+    """(h, w) flat gather map of ``scipy.ndimage.rotate(..., reshape=False,
+    order=0, mode='constant')``; -1 marks the constant-pad region.
+
+    Bit-identical to rotating an index plane through scipy (sweep-tested
+    vs ndimage over dense angle/shape grids incl. exact .5-tie angles)
+    but ~15x cheaper: scipy's per-point C loop is replaced by three
+    broadcast FMAs.  The exact replication needs (a) scipy's degree-exact
+    trig (``special.cosdg``/``sindg``, NOT cos(radians(angle))), (b) its
+    accumulation order ``offset + M00*y + M01*x`` (ties at .5 flip under
+    any other association), (c) order-0 rounding ``floor(coord + 0.5)``
+    with the UNROUNDED coordinate bounds-checked against [0, len-1]."""
+    from scipy import special
+
+    c, s = special.cosdg(angle), special.sindg(angle)
+    # the offset must come from the SAME matmul scipy's rotate performs
+    # (scipy/ndimage/_interpolation.py::rotate) — scalar re-association
+    # shifts it by an ulp and flips .5-tie pixels
+    center = (np.array([h, w]) - 1) / 2
+    off_y, off_x = center - np.array([[c, s], [-s, c]]) @ center
+    ys = np.arange(h, dtype=np.float64)
+    xs = np.arange(w, dtype=np.float64)
+    # same elementwise float-op association as scipy's accumulation:
+    # ((offset + M00*y) + M01*x)
+    iny = (off_y + c * ys)[:, None] + (s * xs)[None, :]
+    inx = (off_x + (-s) * ys)[:, None] + (c * xs)[None, :]
+    ry = np.floor(iny + 0.5).astype(np.int64)
+    rx = np.floor(inx + 0.5).astype(np.int64)
+    valid = (iny >= 0) & (iny <= h - 1) & (inx >= 0) & (inx <= w - 1)
+    return np.where(valid, ry * w + rx, -1)
+
+
 class Compose:
     """Chain transforms (reference transforms.py:173-192)."""
 

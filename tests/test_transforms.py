@@ -226,6 +226,36 @@ def test_resize_interp_2d_uint8_takes_pil_L_path(rng):
     assert T.resize(g, (20, 24), "bilinear", mode="F").dtype == np.float32
 
 
+def test_rotate_nearest_indices_match_scipy(rng):
+    """rotate_nearest_indices == scipy.ndimage.rotate of an index plane
+    (the exact-replication contract: degree-exact trig, scipy's
+    accumulation order, order-0 rounding, [0, len-1] constant-mode
+    bounds).  Sweep includes the NYU range, exact .5-tie angles (45/135
+    multiples flip under any other float association), axis swaps, and
+    degenerate 1-pixel rows/cols."""
+    from scipy import ndimage
+
+    angles = (list(np.linspace(-10, 10, 21))
+              + [0.0, 45.0, -45.0, 90.0, -90.0, 135.0, -135.0, 180.0,
+                 4.999999, -5.000001, 179.9999, 0.0001]
+              + list(rng.uniform(-180, 180, 20)))
+    shapes = [(25, 33), (10, 10), (7, 13), (1, 5), (5, 1), (2, 2)]
+    for h, w in shapes:
+        plane = np.arange(h * w, dtype=np.int64).reshape(h, w)
+        for a in angles:
+            want = ndimage.rotate(plane, a, reshape=False, prefilter=False,
+                                  order=0, cval=-1)
+            np.testing.assert_array_equal(
+                want, T.rotate_nearest_indices(h, w, a), err_msg=f"{h}x{w} @ {a}")
+    # one full-size NYU-intermediate case
+    plane = np.arange(250 * 333, dtype=np.int64).reshape(250, 333)
+    for a in (-5.0, -2.3, 0.0, 1.7, 5.0):
+        want = ndimage.rotate(plane, a, reshape=False, prefilter=False,
+                              order=0, cval=-1)
+        np.testing.assert_array_equal(
+            want, T.rotate_nearest_indices(250, 333, a))
+
+
 def test_enhance_lut_forms_match_pil_direct(rng):
     """adjust_{brightness,contrast}_fast (the LUT forms ColorJitter
     applies) == the PIL-direct functions, exactly, across factors
