@@ -216,6 +216,49 @@ def test_streaming_benchmark_cli(tmp_path, rng, capsys):
     assert _json.loads(out)["frames"] == 6
 
 
+def test_streaming_benchmark_cli_train_mode(tmp_path, rng, capsys):
+    """--train drives loader -> augmentations -> Trainer step end to end
+    and reports train-fps (tiny model via the checkpoint path)."""
+    import json as _json
+
+    import torch
+
+    from fastdepth_tpu.cli import benchmark as bench_cli
+
+    gen = torch.Generator().manual_seed(3)
+    tm = TorchFastDepth(TINY_ENC, TINY_DEC, skip="add").eval()
+    randomize_bn_stats(tm, gen)
+    ckpt = str(tmp_path / "m.pth.tar")
+    torch.save({"epoch": 0, "best_result": None, "model": tm}, ckpt)
+
+    root = tmp_path / "nyudepthv2" / "train"
+    _make_nyu_tree(str(root), rng, n=5)
+
+    result = bench_cli.main([
+        "--evaluate", ckpt,
+        "--data-root", str(tmp_path),
+        "--batch-size", "2",
+        "--train",
+        "--json",
+    ])
+    assert result["frames"] == 4  # drop_last: 5 items -> 2 full batches
+    assert result["fps"] > 0
+    assert np.isfinite(result["final_loss"])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert _json.loads(out)["metric"].startswith("end-to-end streaming TRAIN")
+
+
+def test_benchmark_synthetic_train_tree_skips_holdout_stems(tmp_path):
+    """make_synthetic_tree('train') must yield exactly n TRAIN-split
+    items (stems 00001/00201 are holdout-filtered by the dataset)."""
+    from fastdepth_tpu.cli.benchmark import make_synthetic_tree
+    from fastdepth_tpu.data import NYUDataset
+
+    root = make_synthetic_tree(4, "train")
+    ds = NYUDataset(os.path.join(root, "nyudepthv2", "train"), split="train")
+    assert len(ds) == 4
+
+
 def test_convert_cli_roundtrip(tmp_path, rng, capsys):
     """convert CLI: torch pickle -> .npz usable by the eval engine."""
     from fastdepth_tpu.cli import convert as convert_cli
