@@ -256,6 +256,24 @@ def test_rotate_nearest_indices_match_scipy(rng):
             want, T.rotate_nearest_indices(250, 333, a))
 
 
+def test_host_pipeline_artifact_consistent():
+    """docs/host_pipeline_r3.json (scripts/bench_host_pipeline.py): the
+    committed numbers must carry the exactness gate and a real speedup —
+    a regressed composed path should fail here, not silently ship."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), os.pardir, "docs",
+                        "host_pipeline_r3.json")
+    with open(path) as f:
+        data = json.load(f)
+    assert "bit-equal" in data["exactness"]
+    assert data["speedup_geometry"] >= 2.0
+    assert data["speedup_full"] >= 1.5
+    assert data["composed_geometry_ms"] < data["stepwise_geometry_ms"]
+    assert data["rotate_index_map_ms"] < data["scipy_rotate_4ch_ms"]
+
+
 def test_enhance_lut_forms_match_pil_direct(rng):
     """adjust_{brightness,contrast}_fast (the LUT forms ColorJitter
     applies) == the PIL-direct functions, exactly, across factors
