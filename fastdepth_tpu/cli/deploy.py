@@ -22,8 +22,15 @@ import numpy as np
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="FastDepth-TPU deploy runner")
-    p.add_argument("--model", required=True,
-                   help="checkpoint (.npz or torch pickle); replaces --model-dir")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--model",
+                     help="checkpoint (.npz or torch pickle); replaces --model-dir")
+    src.add_argument("--load-bundle", metavar="PREFIX",
+                     help="run a prebuilt <PREFIX>.stablehlo + .npz deploy "
+                          "bundle (from --save-bundle) instead of compiling "
+                          "from a checkpoint — the reference runner's own "
+                          "flow (tx2_run_tvm.py:13-26 loads its compiled "
+                          "artifact set)")
     p.add_argument("--input-fp", required=True, help="input rgb .npy (HWC in [0,1] or CHW)")
     p.add_argument("--output-fp", default="pred.npy", help="prediction .npy out")
     p.add_argument("--warmup", type=int, default=10, help="warmup trials (tx2_run_tvm.py:43)")
@@ -56,12 +63,15 @@ def load_input(path: str) -> np.ndarray:
 
 def main(argv=None):
     args = parse_args(argv)
-    assert os.path.isfile(args.model), f"=> no model found at '{args.model}'"
+    if args.model:
+        assert os.path.isfile(args.model), f"=> no model found at '{args.model}'"
+    else:
+        assert os.path.isfile(args.load_bundle + ".stablehlo"), (
+            f"=> no bundle found at '{args.load_bundle}.stablehlo'")
 
     import jax
     import jax.numpy as jnp
 
-    from fastdepth_tpu.cli.evaluate import load_params_and_model
     from fastdepth_tpu.engine.aot import compile_forward, flops_estimate
     from fastdepth_tpu.engine.benchmark import (
         setup_compile_cache,
@@ -71,19 +81,34 @@ def main(argv=None):
 
     setup_compile_cache()
 
-    print(f"=> loading model '{args.model}'")
-    params, model, _ = load_params_and_model(args.model)
-
     x = load_input(args.input_fp)
     h, w = x.shape[1], x.shape[2]
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
-    print(f"=> compiling for {x.shape} ({dtype.__name__})")
-    compiled, prepared = compile_forward(
-        model, params, batch_size=1, image_size=(h, w), dtype=dtype,
-    )
-    fl = flops_estimate(compiled)
-    if fl:
-        print(f"=> compiled; {fl / 1e9:.3f} GFLOP/frame")
+
+    if args.load_bundle:
+        from fastdepth_tpu.engine.aot import load_bundle
+
+        print(f"=> loading bundle '{args.load_bundle}'")
+        call, prepared, config = load_bundle(args.load_bundle)
+        if args.bf16:
+            raise SystemExit("--bf16 has no effect on a prebuilt bundle "
+                             "(precision was baked in at --save-bundle time)")
+        if args.save_bundle:
+            raise SystemExit("--save-bundle requires --model (a bundle is "
+                             "already the saved artifact)")
+        compiled = jax.jit(call)  # cache the deserialized executable
+    else:
+        from fastdepth_tpu.cli.evaluate import load_params_and_model
+
+        print(f"=> loading model '{args.model}'")
+        params, model, _ = load_params_and_model(args.model)
+        print(f"=> compiling for {x.shape} ({dtype.__name__})")
+        compiled, prepared = compile_forward(
+            model, params, batch_size=1, image_size=(h, w), dtype=dtype,
+        )
+        fl = flops_estimate(compiled)
+        if fl:
+            print(f"=> compiled; {fl / 1e9:.3f} GFLOP/frame")
 
     pred = np.asarray(compiled(prepared, jnp.asarray(x)))
     np.save(args.output_fp, np.transpose(pred, (0, 3, 1, 2)))  # NCHW like the reference

@@ -49,6 +49,33 @@ def test_deploy_runner_golden_roundtrip(tiny_ckpt, tmp_path, capsys):
     assert "[timed]" in out and "[randomized]" in out
 
 
+def test_deploy_runner_bundle_roundtrip(tiny_ckpt, tmp_path, capsys):
+    """--save-bundle then --load-bundle: the prebuilt-artifact flow the
+    reference runner uses (tx2_run_tvm.py:13-26), prediction-identical
+    to the compile-from-checkpoint run."""
+    from fastdepth_tpu.cli import deploy
+
+    rgb = np.random.RandomState(0).rand(224, 224, 3).astype(np.float32)
+    in_fp = str(tmp_path / "rgb.npy")
+    np.save(in_fp, rgb)
+    pred_a = str(tmp_path / "pred_a.npy")
+    prefix = str(tmp_path / "bundle")
+    deploy.main([
+        "--model", tiny_ckpt, "--input-fp", in_fp, "--output-fp", pred_a,
+        "--warmup", "1", "--run", "2", "--save-bundle", prefix,
+    ])
+    pred_b = str(tmp_path / "pred_b.npy")
+    deploy.main([
+        "--load-bundle", prefix, "--input-fp", in_fp, "--output-fp", pred_b,
+        "--warmup", "1", "--run", "2",
+    ])
+    np.testing.assert_array_equal(np.load(pred_a), np.load(pred_b))
+    assert "loading bundle" in capsys.readouterr().out
+
+    with pytest.raises(SystemExit):  # precision is baked into the bundle
+        deploy.main(["--load-bundle", prefix, "--input-fp", in_fp, "--bf16"])
+
+
 def test_deploy_input_layouts(tmp_path):
     from fastdepth_tpu.cli.deploy import load_input
 
