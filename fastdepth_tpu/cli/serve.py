@@ -27,7 +27,9 @@ def parse_args(argv=None):
     p.add_argument("-e", "--evaluate", default=None, metavar="PATH",
                    help="checkpoint: native .npz or reference .pth[.tar] "
                         "(TRUSTED source only — full-module pickle)")
-    p.add_argument("--socket", default="/tmp/fastdepth.sock")
+    p.add_argument("--socket", default="/tmp/fastdepth.sock",
+                   help="unix socket path, or HOST:PORT for TCP "
+                        "(remote clients; e.g. 0.0.0.0:7000)")
     p.add_argument("--batch-size", type=int, default=32,
                    help="compiled device batch; requests are packed into it")
     p.add_argument("--bf16", action="store_true")
@@ -124,7 +126,12 @@ def main(argv=None, *, _ready=None, _stop=None):
 
     from fastdepth_tpu.cli.evaluate import load_params_and_model
     from fastdepth_tpu.engine.benchmark import setup_compile_cache
-    from fastdepth_tpu.engine.server import InferenceServer, serve_unix_socket
+    from fastdepth_tpu.engine.server import (
+        InferenceServer,
+        parse_address,
+        serve_tcp,
+        serve_unix_socket,
+    )
 
     setup_compile_cache()
 
@@ -157,13 +164,17 @@ def main(argv=None, *, _ready=None, _stop=None):
                           f"queued {s['queued']})", flush=True)
 
         threading.Thread(target=stats_loop, daemon=True).start()
+    addr = parse_address(args.socket)
     try:
-        serve_unix_socket(server, args.socket, ready=_ready, stop=_stop)
+        if addr[0] == "tcp":
+            serve_tcp(server, addr[1], addr[2], ready=_ready, stop=_stop)
+        else:
+            serve_unix_socket(server, args.socket, ready=_ready, stop=_stop)
     except KeyboardInterrupt:
         print("\n=> shutting down")
     finally:
         server.close()
-        if os.path.exists(args.socket):
+        if addr[0] == "unix" and os.path.exists(args.socket):
             os.unlink(args.socket)
     return 0
 

@@ -283,6 +283,19 @@ class InferenceServer:
         self.close()
 
 
+def parse_address(spec: str):
+    """Socket spec -> ('unix', path) | ('tcp', host, port).
+
+    TCP iff the spec is ``host:port`` with no path separator (e.g.
+    ``127.0.0.1:7000``, ``[::1]:7000``); anything else is a unix path —
+    so existing ``--socket /tmp/fd.sock`` usage is unchanged."""
+    if "/" not in spec and ":" in spec:
+        host, _, port = spec.rpartition(":")
+        if port.isdigit():
+            return ("tcp", host.strip("[]") or "127.0.0.1", int(port))
+    return ("unix", spec)
+
+
 def serve_unix_socket(
     server: InferenceServer,
     sock_path: str,
@@ -304,7 +317,6 @@ def serve_unix_socket(
     import os
     import socket
 
-    stop = stop or threading.Event()
     if os.path.exists(sock_path):
         # refuse to hijack a LIVE daemon's socket; unlink only stale ones
         probe = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
@@ -322,11 +334,57 @@ def serve_unix_socket(
             probe.close()
     srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
     srv.bind(sock_path)
+
+    def cleanup():
+        if os.path.exists(sock_path):
+            os.unlink(sock_path)
+
+    serve_socket(server, srv, name=sock_path, ready=ready, stop=stop,
+                 log=log, cleanup=cleanup)
+
+
+def serve_tcp(
+    server: InferenceServer,
+    host: str,
+    port: int,
+    *,
+    ready: Optional[threading.Event] = None,
+    stop: Optional[threading.Event] = None,
+    log=print,
+):
+    """Same protocol/accept loop over TCP (remote clients; the unix
+    socket stays the single-host default).  ``port=0`` binds an
+    ephemeral port; the bound address is logged and exposed as
+    ``server.bound_address`` before ``ready`` is set."""
+    import socket
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind((host, port))
+    server.bound_address = srv.getsockname()
+    serve_socket(server, srv, name="%s:%d" % server.bound_address,
+                 ready=ready, stop=stop, log=log)
+
+
+def serve_socket(
+    server: InferenceServer,
+    srv,
+    *,
+    name: str = "",
+    ready: Optional[threading.Event] = None,
+    stop: Optional[threading.Event] = None,
+    log=print,
+    cleanup=None,
+):
+    """Shared accept loop over a bound (not yet listening) socket."""
+    import socket
+
+    stop = stop or threading.Event()
     srv.listen(64)
     srv.settimeout(0.2)
     if ready is not None:
         ready.set()
-    log(f"=> serving on {sock_path} (batch {server.batch_size})")
+    log(f"=> serving on {name} (batch {server.batch_size})")
 
     def handle(conn):
         # Pipelined per-connection protocol: the reader thread (this one)
@@ -423,16 +481,28 @@ def serve_unix_socket(
             threading.Thread(target=handle, args=(conn,), daemon=True).start()
     finally:
         srv.close()
-        if os.path.exists(sock_path):
-            os.unlink(sock_path)
+        if cleanup is not None:
+            cleanup()
+
+
+def _connect(spec: str):
+    """Client socket for a unix path or ``host:port`` spec."""
+    import socket
+
+    addr = parse_address(spec)
+    if addr[0] == "tcp":
+        c = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        c.connect((addr[1], addr[2]))
+    else:
+        c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        c.connect(addr[1])
+    return c
 
 
 def request(sock_path: str, rgb: np.ndarray) -> np.ndarray:
-    """One client round trip (also the test/smoke client)."""
-    import socket
-
-    c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
-    c.connect(sock_path)
+    """One client round trip (also the test/smoke client).  ``sock_path``
+    may be a unix path or a ``host:port`` TCP spec."""
+    c = _connect(sock_path)
     try:
         _send_npy(c, np.asarray(rgb))  # dtype must match the server's input_dtype
         out = _recv_npy(c)
@@ -448,12 +518,12 @@ def request_stream(sock_path: str, frames, depth: int = 32):
     connection and yield predictions in frame order.  This is how a
     single client saturates the server's compiled device batch — the
     server's per-connection reader/writer split answers in order, so
-    sending ahead is safe."""
+    sending ahead is safe.  ``sock_path`` may be a unix path or a
+    ``host:port`` TCP spec."""
     import socket
     import threading as _t
 
-    c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
-    c.connect(sock_path)
+    c = _connect(sock_path)
     sem = _t.Semaphore(depth)
     dead = _t.Event()  # reader died / stream over: unblocks the sender
     n_sent = 0

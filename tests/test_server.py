@@ -86,6 +86,46 @@ def test_unix_socket_round_trip(rng, tmp_path):
     assert not os.path.exists(sock)
 
 
+def test_parse_address():
+    from fastdepth_tpu.engine.server import parse_address
+
+    assert parse_address("/tmp/fd.sock") == ("unix", "/tmp/fd.sock")
+    assert parse_address("relative.sock") == ("unix", "relative.sock")
+    assert parse_address("127.0.0.1:7000") == ("tcp", "127.0.0.1", 7000)
+    assert parse_address("0.0.0.0:80") == ("tcp", "0.0.0.0", 80)
+    assert parse_address("[::1]:7000") == ("tcp", "::1", 7000)
+    # a path with a colon stays a unix path; a non-numeric port too
+    assert parse_address("/tmp/a:b.sock") == ("unix", "/tmp/a:b.sock")
+    assert parse_address("host:abc") == ("unix", "host:abc")
+
+
+def test_tcp_round_trip_and_stream(rng):
+    """Same protocol over TCP (serve_tcp, ephemeral port): single
+    round trips AND the pipelined stream client, matching the folded
+    forward."""
+    from fastdepth_tpu.engine.server import request_stream, serve_tcp
+
+    model, params = _model_and_params()
+    stop = threading.Event()
+    ready = threading.Event()
+    with InferenceServer(model, params, batch_size=2, image_size=(HW, HW)) as srv:
+        t = threading.Thread(
+            target=serve_tcp, args=(srv, "127.0.0.1", 0),
+            kwargs={"ready": ready, "stop": stop, "log": lambda *a: None},
+            daemon=True,
+        )
+        t.start()
+        assert ready.wait(timeout=10)
+        spec = "%s:%d" % srv.bound_address
+        frames = [rng.rand(HW, HW, 3).astype(np.float32) for _ in range(4)]
+        ref = np.asarray(model.apply(model.fold(params), jnp.asarray(np.stack(frames))))
+        np.testing.assert_allclose(request(spec, frames[0]), ref[0], atol=1e-5)
+        for i, p in enumerate(request_stream(spec, frames, depth=4)):
+            np.testing.assert_allclose(p, ref[i], atol=1e-5)
+        stop.set()
+        t.join(timeout=5)
+
+
 def test_serve_cli_ping(rng, tmp_path, capsys):
     """The CLI's client mode against a live server (CHW input accepted,
     NCHW prediction saved like the reference deploy runner)."""
