@@ -83,21 +83,28 @@ def main(argv=None):
 
     x = load_input(args.input_fp)
     h, w = x.shape[1], x.shape[2]
-    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
 
     if args.load_bundle:
         from fastdepth_tpu.engine.aot import load_bundle
 
-        print(f"=> loading bundle '{args.load_bundle}'")
-        call, prepared, config = load_bundle(args.load_bundle)
+        # flag conflicts fail BEFORE the (potentially large) deserialize
         if args.bf16:
             raise SystemExit("--bf16 has no effect on a prebuilt bundle "
                              "(precision was baked in at --save-bundle time)")
         if args.save_bundle:
             raise SystemExit("--save-bundle requires --model (a bundle is "
                              "already the saved artifact)")
+        print(f"=> loading bundle '{args.load_bundle}'")
+        call, prepared, config, spec = load_bundle(args.load_bundle)
+        want = (spec.get("batch_size", 1), *spec.get("image_size", (h, w)), 3)
+        if tuple(x.shape) != tuple(want):
+            raise SystemExit(
+                f"=> bundle expects input {tuple(want)} "
+                f"({spec.get('dtype', 'float32')} compute), got {x.shape} "
+                f"from '{args.input_fp}'")
         compiled = jax.jit(call)  # cache the deserialized executable
     else:
+        dtype = jnp.bfloat16 if args.bf16 else jnp.float32
         from fastdepth_tpu.cli.evaluate import load_params_and_model
 
         print(f"=> loading model '{args.model}'")

@@ -19,7 +19,6 @@ Smoke a running server:
 from __future__ import annotations
 
 import argparse
-import os
 
 
 def parse_args(argv=None):
@@ -169,13 +168,15 @@ def main(argv=None, *, _ready=None, _stop=None):
         if addr[0] == "tcp":
             serve_tcp(server, addr[1], addr[2], ready=_ready, stop=_stop)
         else:
+            # socket-file cleanup belongs to serve_unix_socket alone: it
+            # unlinks only a socket it BOUND — an unlink here would also
+            # fire when startup was refused because a live daemon owns
+            # the path, silently unreachable-ing that daemon
             serve_unix_socket(server, args.socket, ready=_ready, stop=_stop)
     except KeyboardInterrupt:
         print("\n=> shutting down")
     finally:
         server.close()
-        if addr[0] == "unix" and os.path.exists(args.socket):
-            os.unlink(args.socket)
     return 0
 
 

@@ -133,7 +133,11 @@ def save_bundle(
 
 
 def load_bundle(path_prefix: str):
-    """Load a deploy bundle; returns (callable(params, rgb), params, config)."""
+    """Load a deploy bundle; returns (callable(params, rgb), params,
+    config, spec) where ``spec`` is what save_bundle baked in —
+    {'batch_size', 'image_size', 'dtype'} — so callers can validate an
+    input against the fixed-shape executable up front instead of dying
+    inside jax.export with a shape-mismatch trace."""
     from jax import export as jexport
 
     from fastdepth_tpu.checkpoint.io import load_checkpoint, numpy_to_jax
@@ -141,7 +145,7 @@ def load_bundle(path_prefix: str):
     with open(path_prefix + ".stablehlo", "rb") as f:
         exported = jexport.deserialize(f.read())
     params, config, meta = load_checkpoint(path_prefix + ".npz")
-    return exported.call, numpy_to_jax(params), config
+    return exported.call, numpy_to_jax(params), config, meta.get("extra", {})
 
 
 def flops_estimate(compiled) -> Optional[float]:

@@ -355,13 +355,21 @@ def serve_tcp(
     """Same protocol/accept loop over TCP (remote clients; the unix
     socket stays the single-host default).  ``port=0`` binds an
     ephemeral port; the bound address is logged and exposed as
-    ``server.bound_address`` before ``ready`` is set."""
+    ``server.bound_address`` before ``ready`` is set.  The address
+    family follows the host (IPv4 or IPv6 — getaddrinfo, not a
+    hard-coded AF_INET)."""
     import socket
 
-    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
-    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
-    srv.bind((host, port))
-    server.bound_address = srv.getsockname()
+    family, _, _, _, bind_addr = socket.getaddrinfo(
+        host, port, type=socket.SOCK_STREAM, flags=socket.AI_PASSIVE)[0]
+    srv = socket.socket(family, socket.SOCK_STREAM)
+    try:
+        srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        srv.bind(bind_addr)
+        server.bound_address = srv.getsockname()[:2]
+    except BaseException:
+        srv.close()  # a bind failure must not leak the listening fd
+        raise
     serve_socket(server, srv, name="%s:%d" % server.bound_address,
                  ready=ready, stop=stop, log=log)
 
@@ -491,11 +499,10 @@ def _connect(spec: str):
 
     addr = parse_address(spec)
     if addr[0] == "tcp":
-        c = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
-        c.connect((addr[1], addr[2]))
-    else:
-        c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
-        c.connect(addr[1])
+        # create_connection resolves the family (IPv4 AND IPv6 hosts)
+        return socket.create_connection((addr[1], addr[2]))
+    c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    c.connect(addr[1])
     return c
 
 

@@ -31,8 +31,9 @@ def test_bundle_roundtrip(tmp_path, rng):
     prefix = str(tmp_path / "bundle")
     save_bundle(prefix, model, params, batch_size=1, image_size=(64, 64))
 
-    call, loaded_params, config = load_bundle(prefix)
+    call, loaded_params, config, spec = load_bundle(prefix)
     assert config == CFG
+    assert spec["batch_size"] == 1 and tuple(spec["image_size"]) == (64, 64)
     x = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
     got = call(loaded_params, x)
     ref = model.apply(model.fold(params), x)
@@ -49,8 +50,9 @@ def test_bundle_roundtrip_bf16(tmp_path, rng):
     save_bundle(prefix, model, params, batch_size=1, image_size=(64, 64),
                 dtype=jnp.bfloat16)
 
-    call, loaded_params, config = load_bundle(prefix)
+    call, loaded_params, config, spec = load_bundle(prefix)
     assert config == CFG
+    assert spec["dtype"] == "bfloat16"
     leaves = jax.tree.leaves(loaded_params)
     assert any(l.dtype == jnp.bfloat16 for l in leaves)
     x = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))

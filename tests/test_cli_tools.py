@@ -75,6 +75,13 @@ def test_deploy_runner_bundle_roundtrip(tiny_ckpt, tmp_path, capsys):
     with pytest.raises(SystemExit):  # precision is baked into the bundle
         deploy.main(["--load-bundle", prefix, "--input-fp", in_fp, "--bf16"])
 
+    # shape mismatch fails with the friendly up-front message, not a
+    # jax.export trace
+    small = str(tmp_path / "small.npy")
+    np.save(small, np.zeros((64, 64, 3), np.float32))
+    with pytest.raises(SystemExit, match="bundle expects input"):
+        deploy.main(["--load-bundle", prefix, "--input-fp", small])
+
 
 def test_deploy_input_layouts(tmp_path):
     from fastdepth_tpu.cli.deploy import load_input

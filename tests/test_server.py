@@ -126,6 +126,65 @@ def test_tcp_round_trip_and_stream(rng):
         t.join(timeout=5)
 
 
+def test_tcp_ipv6_round_trip(rng):
+    """serve_tcp resolves the address family from the host (getaddrinfo,
+    not hard-coded AF_INET) — [::1]:port round-trips."""
+    import pytest
+
+    from fastdepth_tpu.engine.server import serve_tcp
+
+    model, params = _model_and_params()
+    stop = threading.Event()
+    ready = threading.Event()
+    with InferenceServer(model, params, batch_size=2, image_size=(HW, HW)) as srv:
+        t = threading.Thread(
+            target=serve_tcp, args=(srv, "::1", 0),
+            kwargs={"ready": ready, "stop": stop, "log": lambda *a: None},
+            daemon=True,
+        )
+        t.start()
+        if not ready.wait(timeout=10):
+            pytest.skip("IPv6 loopback unavailable on this host")
+        frame = rng.rand(HW, HW, 3).astype(np.float32)
+        ref = np.asarray(model.apply(model.fold(params), jnp.asarray(frame[None])))[0]
+        np.testing.assert_allclose(
+            request("[::1]:%d" % srv.bound_address[1], frame), ref, atol=1e-5)
+        stop.set()
+        t.join(timeout=5)
+
+
+def test_serve_cli_refusal_leaves_live_socket_intact(rng, tmp_path):
+    """A second serve CLI refused at startup (live daemon owns the unix
+    socket) must NOT unlink the live daemon's socket file on its way
+    out — the review found the CLI's old finally block doing exactly
+    that, silently unreachable-ing the running daemon."""
+    import pytest
+
+    from fastdepth_tpu.engine.server import serve_unix_socket
+
+    model, params = _model_and_params()
+    sock = str(tmp_path / "fd.sock")
+    stop = threading.Event()
+    ready = threading.Event()
+    with InferenceServer(model, params, batch_size=2, image_size=(HW, HW)) as srv:
+        t = threading.Thread(
+            target=serve_unix_socket, args=(srv, sock),
+            kwargs={"ready": ready, "stop": stop, "log": lambda *a: None},
+            daemon=True,
+        )
+        t.start()
+        assert ready.wait(timeout=10)
+        # second daemon on the same socket: engine layer refuses...
+        with pytest.raises(RuntimeError, match="live server"):
+            serve_unix_socket(srv, sock, log=lambda *a: None)
+        # ...and the live daemon's socket file must still exist and serve
+        assert os.path.exists(sock)
+        frame = rng.rand(HW, HW, 3).astype(np.float32)
+        assert request(sock, frame).shape == (HW, HW, 1)
+        stop.set()
+        t.join(timeout=5)
+
+
 def test_serve_cli_ping(rng, tmp_path, capsys):
     """The CLI's client mode against a live server (CHW input accepted,
     NCHW prediction saved like the reference deploy runner)."""
