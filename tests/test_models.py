@@ -56,6 +56,51 @@ def test_fastdepth_matches_torch_oracle(skip):
     np.testing.assert_allclose(ref, got, atol=2e-4)
 
 
+def test_fastdepth_randomized_widths_converter_parity():
+    """Converter channel inference at ARBITRARY widths: random (odd,
+    non-lane-aligned) per-layer channel lists through the torch oracle
+    -> convert -> forward parity.  The fixed tiny/full-width parity
+    tests pin two points; NetAdapt-style pruning makes every width
+    legal, so inference must not carry hidden alignment assumptions."""
+    wrng = np.random.RandomState(11)
+    for trial in range(4):
+        skip = ("add", "concat", None, "add")[trial]
+        enc = [int(wrng.randint(3, 15))]
+        for _ in range(13):
+            enc.append(int(wrng.randint(3, 23)))
+        if skip is None:
+            from torch_oracle import TorchMobileNetNNConv
+
+            dec = [int(wrng.randint(3, 19)) for _ in range(5)]
+            gen = torch.Generator().manual_seed(100 + trial)
+            tm = TorchMobileNetNNConv(enc, dec, dw=True).eval()
+            randomize_bn_stats(tm, gen)
+            params, cfg = C.convert_mobilenet_plain(_state_dict_np(tm))
+        else:
+            # skip-add constrains dec[1:4] to the tap widths (reference
+            # models.py:720-729); concat leaves them free
+            if skip == "add":
+                dec = [int(wrng.randint(3, 19)), enc[5], enc[3], enc[1],
+                       int(wrng.randint(3, 19))]
+            else:
+                dec = [int(wrng.randint(3, 19)) for _ in range(5)]
+            gen = torch.Generator().manual_seed(100 + trial)
+            tm = TorchFastDepth(enc, dec, skip=skip).eval()
+            randomize_bn_stats(tm, gen)
+            params, cfg = C.convert_fastdepth_skip(_state_dict_np(tm), skip=skip)
+        assert cfg.encoder_channels == tuple(enc), (trial, skip)
+        assert cfg.decoder_channels == tuple(dec), (trial, skip)
+        x = torch.randn(1, 3, 64, 64, generator=gen)
+        with torch.no_grad():
+            ref = tm(x).numpy()
+        model = build(cfg)
+        out = model.apply(numpy_to_jax(params),
+                          jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+        np.testing.assert_allclose(
+            ref, np.asarray(out).transpose(0, 3, 1, 2), atol=2e-4,
+            err_msg=f"trial {trial} skip={skip} enc={enc} dec={dec}")
+
+
 def test_fastdepth_folded_matches_unfolded():
     gen = torch.Generator().manual_seed(1)
     tm = TorchFastDepth(TINY_ENC, TINY_DEC_ADD, skip="add").eval()
