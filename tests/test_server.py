@@ -272,6 +272,43 @@ def test_serve_cli_daemon_launch_spatial_mesh(rng, tmp_path):
     np.testing.assert_allclose(pred, ref[0], atol=1e-5)
 
 
+def test_serve_cli_daemon_launch_tcp(rng, tmp_path):
+    """The CLI's TCP dispatch end to end: --socket 127.0.0.1:PORT routes
+    through serve_tcp and answers a client ping."""
+    import socket as _socket
+
+    from fastdepth_tpu.checkpoint.io import jax_to_numpy, save_checkpoint
+    from fastdepth_tpu.cli import serve as serve_cli
+
+    model, params = _model_and_params()
+    ckpt = str(tmp_path / "tiny.npz")
+    save_checkpoint(ckpt, jax_to_numpy(params), CFG)
+    # grab a free loopback port (closed before the daemon binds it;
+    # single-process test, so the race window is theoretical)
+    probe = _socket.socket()
+    probe.bind(("127.0.0.1", 0))
+    port = probe.getsockname()[1]
+    probe.close()
+    spec = f"127.0.0.1:{port}"
+    ready, stop = threading.Event(), threading.Event()
+    rc = {}
+    t = threading.Thread(
+        target=lambda: rc.setdefault("rc", serve_cli.main(
+            ["--evaluate", ckpt, "--socket", spec, "--batch-size", "2",
+             "--image-size", str(HW), str(HW), "--stats-every", "0"],
+            _ready=ready, _stop=stop)),
+        daemon=True)
+    t.start()
+    assert ready.wait(timeout=120), "daemon never came up"
+    frame = rng.rand(HW, HW, 3).astype(np.float32)
+    pred = request(spec, frame)
+    stop.set()
+    t.join(timeout=30)
+    assert rc.get("rc") == 0
+    ref = np.asarray(model.apply(model.fold(params), jnp.asarray(frame[None])))
+    np.testing.assert_allclose(pred, ref[0], atol=1e-5)
+
+
 def test_stream_half_close_survives_slow_first_result(rng, tmp_path, monkeypatch):
     """Cold-compile regime: a pipelined client half-closes after its last
     frame while the first result is still pending.  The handler's drain
