@@ -45,6 +45,12 @@ def parse_args(argv=None):
                         "the MXU, fp32 master weights/momentum/BN stats "
                         "(no loss scaling needed — bf16 keeps fp32's "
                         "exponent range)")
+    p.add_argument("--accum-steps", type=int, default=1,
+                   help="gradient accumulation: split each batch into this "
+                        "many sequential microbatches (lax.scan) and apply "
+                        "one averaged update — the memory lever when "
+                        "--batch-size exceeds HBM even under --remat; "
+                        "batch size must be divisible by it")
     p.add_argument("--output-dir", default="results")
     p.add_argument("--eval-batch-size", type=int, default=8)
     p.add_argument("--resume", default=None, metavar="PATH",
@@ -102,6 +108,17 @@ def main(argv=None):
         raise SystemExit(
             f"--eval-batch-size {args.eval_batch_size} must divide by "
             f"--mesh-devices {args.mesh_devices}")
+    if args.accum_steps < 1 or args.batch_size % args.accum_steps:
+        raise SystemExit(
+            f"--batch-size {args.batch_size} must divide by "
+            f"--accum-steps {args.accum_steps} (equal microbatches)")
+    if (mesh is not None
+            and (args.batch_size // args.accum_steps) % args.mesh_devices):
+        raise SystemExit(
+            f"microbatch size {args.batch_size // args.accum_steps} "
+            f"(--batch-size / --accum-steps) must divide by "
+            f"--mesh-devices {args.mesh_devices}: each device scans its "
+            f"own microbatch rows")
 
     tc = TrainConfig(
         lr=args.lr, momentum=args.momentum, weight_decay=args.weight_decay,
@@ -144,7 +161,8 @@ def main(argv=None):
     print(f"=> {len(train_ds)} train / {len(val_ds)} val images")
 
     trainer = Trainer(model, params, tc, mesh=mesh, remat=args.remat,
-                      compute_dtype=jnp.bfloat16 if args.bf16 else None)
+                      compute_dtype=jnp.bfloat16 if args.bf16 else None,
+                      accum_steps=args.accum_steps)
 
     os.makedirs(args.output_dir, exist_ok=True)
     train_csv = os.path.join(args.output_dir, "train.csv")

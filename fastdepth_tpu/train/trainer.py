@@ -82,12 +82,35 @@ def make_train_step(
     remat: bool = False,
     skip_nonfinite: bool = True,
     compute_dtype=None,
+    accum_steps: int = 1,
+    mesh=None,
 ):
     """Returns step(state, rgb, depth, lr) -> (state, loss).
 
     ``remat``: rematerialize the forward during backprop
     (``jax.checkpoint``) — trades FLOPs for activation memory, the lever
     for large batches/resolutions on HBM-bound chips.
+    ``accum_steps``: gradient accumulation.  The batch is split into
+    ``accum_steps`` equal microbatches, scanned sequentially
+    (``lax.scan`` — one microbatch's activations live at a time, the
+    *other* large-batch memory lever, composable with ``remat``), and
+    ONE optimizer update applies the mean of the microbatch gradients.
+    BatchNorm semantics match k sequential torch forwards: train-mode BN
+    normalizes by each MICROBATCH's moments (so the gradient is not
+    bit-equal to an unaccumulated batch — the standard grad-accum
+    contract) and running stats merge sequentially microbatch after
+    microbatch.  The mean loss over microbatches equals the full-batch
+    masked-L1 only when mask counts per microbatch are equal; the
+    returned loss is the microbatch mean either way.
+    ``mesh``: REQUIRED when accumulating over a data-parallel mesh.  The
+    (B, ...) -> (accum, B/accum, ...) reshape of a batch-sharded tensor
+    otherwise leaves the SPMD partitioner free to re-shard along any
+    dim — including H, the regime where this platform's dw-conv
+    gradients are measurably wrong (docs/probe_r3_sp_grad.json; the f64
+    harness reproduced 1e-2-level divergence through exactly this
+    reshape).  With ``mesh`` the microbatch tensors are pinned to
+    P(None, 'data') — every device scans its own local rows, pure DP —
+    which requires the MICROBATCH size to divide by the data-axis size.
     ``skip_nonfinite``: if the loss or any gradient is NaN/Inf (bad batch,
     overflow), the whole update is skipped — the failure-isolation story
     for long unattended runs (the reference has no failure handling,
@@ -119,10 +142,68 @@ def make_train_step(
         # masked reduction must not accumulate in bf16
         return loss_fn(pred.astype(jnp.float32), depth), stats
 
+    if accum_steps < 1:
+        raise ValueError(f"accum_steps must be >= 1, got {accum_steps}")
+    grad_fn = jax.value_and_grad(loss_and_stats, has_aux=True)
+
     def step(state: TrainState, rgb: Array, depth: Array, lr: Array):
-        (loss, stats), grads = jax.value_and_grad(loss_and_stats, has_aux=True)(
-            state.params, rgb, depth
-        )
+        if accum_steps == 1:
+            (loss, stats), grads = grad_fn(state.params, rgb, depth)
+        else:
+            n = rgb.shape[0]
+            if n % accum_steps:
+                raise ValueError(
+                    f"batch size {n} is not divisible by "
+                    f"accum_steps={accum_steps}: microbatches must be "
+                    f"equal-sized (unequal BN moments and loss weights "
+                    f"would silently skew the accumulated gradient)")
+            mb = n // accum_steps
+            rgb_m = rgb.reshape(accum_steps, mb, *rgb.shape[1:])
+            depth_m = depth.reshape(accum_steps, mb, *depth.shape[1:])
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from fastdepth_tpu.parallel.mesh import DATA_AXIS
+
+                d = mesh.shape[DATA_AXIS]
+                if mb % d:
+                    raise ValueError(
+                        f"microbatch size {mb} (batch {n} / accum_steps "
+                        f"{accum_steps}) must divide by the data-axis "
+                        f"size {d}: each device scans its own rows")
+                ms = NamedSharding(mesh, P(None, DATA_AXIS))
+                rgb_m = jax.lax.with_sharding_constraint(rgb_m, ms)
+                depth_m = jax.lax.with_sharding_constraint(depth_m, ms)
+
+            def body(carry, xs):
+                params_c, gsum, lsum = carry
+                r, d = xs
+                (loss_i, stats_i), grads_i = grad_fn(params_c, r, d)
+                # thread the merged running stats into the next
+                # microbatch's forward: exactly k sequential train-mode
+                # forwards (running stats never enter train-mode
+                # normalization, so this cannot change any gradient)
+                params_c = L.merge_stats(params_c, stats_i)
+                gsum = jax.tree.map(jnp.add, gsum, grads_i)
+                return (params_c, gsum, lsum + loss_i), stats_i
+
+            gzero = jax.tree.map(jnp.zeros_like, state.params)
+            # loss dtype = promote(fp32 pred cast, target dtype) — f64
+            # under x64 (mesh_equiv_f64.py), f32 otherwise; the scan
+            # carry init must match or the carry types diverge
+            loss_dt = jnp.promote_types(jnp.float32, depth.dtype)
+            (_, gsum, lsum), stats_seq = jax.lax.scan(
+                body,
+                (state.params, gzero, jnp.zeros((), loss_dt)),
+                (rgb_m, depth_m),
+            )
+            grads = jax.tree.map(lambda g: g / accum_steps, gsum)
+            loss = lsum / accum_steps
+            # the LAST microbatch's stats entries already fold in every
+            # earlier merge (each new_bn is computed from the carried,
+            # previously-merged running stats) — they ARE the final
+            # sequential running stats
+            stats = jax.tree.map(lambda s: s[-1], stats_seq)
         if skip_nonfinite:
             finite = jnp.isfinite(loss)
             for g in jax.tree.leaves(grads):
@@ -204,13 +285,15 @@ class Trainer:
         loss_fn: Callable = masked_l1_loss,
         remat: bool = False,
         compute_dtype=None,
+        accum_steps: int = 1,
     ):
         self.model = model
         self.cfg = cfg
         self.mesh = mesh
         self.state = sgd_init(params)
         step = make_train_step(model, cfg, loss_fn, remat=remat,
-                               compute_dtype=compute_dtype)
+                               compute_dtype=compute_dtype,
+                               accum_steps=accum_steps, mesh=mesh)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -29,6 +29,8 @@ p = argparse.ArgumentParser()
 p.add_argument("--batches", default="8,16,32,64")
 p.add_argument("--remat", default="0,1")
 p.add_argument("--dtypes", default="fp32")
+p.add_argument("--accum", default="1",
+               help="comma list of gradient-accumulation factors")
 p.add_argument("--out", default="/tmp/bench_train.json")
 args = p.parse_args()
 
@@ -36,12 +38,14 @@ DTYPES = {"fp32": None, "bf16": jnp.bfloat16}
 rng = np.random.RandomState(0)
 results = []
 for dtype_tag in args.dtypes.split(","):
+  for accum in (int(a) for a in args.accum.split(",")):
     for remat in (bool(int(r)) for r in args.remat.split(",")):
         for batch in (int(b) for b in args.batches.split(",")):
             model = fastdepth_pruned()
             trainer = Trainer(model, model.init(jax.random.PRNGKey(0)),
                               TrainConfig(lr=0.01), remat=remat,
-                              compute_dtype=DTYPES[dtype_tag])
+                              compute_dtype=DTYPES[dtype_tag],
+                              accum_steps=accum)
             rgb = jnp.asarray(rng.rand(batch, 224, 224, 3), jnp.float32)
             depth = jnp.asarray(rng.rand(batch, 224, 224, 1) * 5 + 0.5,
                                 jnp.float32)
@@ -60,10 +64,12 @@ for dtype_tag in args.dtypes.split(","):
                    "step_ms": round(dt * 1e3, 2),
                    "train_fps": round(batch / dt, 1),
                    "final_loss": float(loss)}
+            if accum != 1:
+                row["accum"] = accum
             results.append(row)
-            print(f"b{batch} remat={remat} {dtype_tag}: {row['step_ms']} "
-                  f"ms/step = {row['train_fps']:,} train-fps "
-                  f"(loss {row['final_loss']:.4f})", flush=True)
+            print(f"b{batch} remat={remat} {dtype_tag} accum={accum}: "
+                  f"{row['step_ms']} ms/step = {row['train_fps']:,} "
+                  f"train-fps (loss {row['final_loss']:.4f})", flush=True)
 
 with open(args.out, "w") as f:
     json.dump(results, f, indent=1)

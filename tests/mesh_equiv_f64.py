@@ -61,6 +61,44 @@ def main():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-9, rtol=1e-7)
     print("MESH_EQUIV_OK")
 
+    # Gradient ACCUMULATION over the mesh: the real step function
+    # (make_train_step(accum_steps=2, mesh=...) — scan over microbatches,
+    # averaged update, sequential BN-stat merge, microbatches pinned to
+    # P(None, 'data')) must produce identical updated params mesh vs
+    # single-device in f64.  Without the sharding pin this check FAILS at
+    # the 1e-2 level: the partitioner re-shards the reshaped microbatch
+    # tensor spatially and hits the dw-conv-grad divergence
+    # (docs/probe_r3_sp_grad.json) — this line is the regression guard.
+    # Batch 16: the microbatch (8) must span the 8-device data axis.
+    from fastdepth_tpu.config import TrainConfig  # noqa: E402
+    from fastdepth_tpu.train.trainer import make_train_step, sgd_init  # noqa: E402
+
+    rgb16 = jnp.asarray(rng.rand(16, 32, 32, 3), jnp.float64)
+    depth16 = jnp.asarray(rng.rand(16, 32, 32, 1) * 5 + 0.5, jnp.float64)
+    tc = TrainConfig(lr=0.05, weight_decay=1e-4)
+    step_single = make_train_step(model, tc, accum_steps=2)
+    step_mesh = make_train_step(model, tc, accum_steps=2, mesh=mesh)
+    lr = jnp.asarray(0.05, jnp.float64)
+    s1 = sgd_init(params)
+    s1, l1 = jax.jit(step_single)(s1, rgb16, depth16, lr)
+
+    state0 = sgd_init(jax.device_put(params, repl))
+    state_sh = jax.tree.map(
+        lambda _: repl, state0, is_leaf=lambda x: isinstance(x, jax.Array)
+    )
+    s2, l2 = jax.jit(
+        step_mesh,
+        in_shardings=(state_sh, data, data, None),
+        out_shardings=(state_sh, repl),
+    )(state0, put_sharded(rgb16, mesh), put_sharded(depth16, mesh), lr)
+
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-9)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-9, rtol=1e-7)
+    for a, b in zip(jax.tree.leaves(s1.momentum), jax.tree.leaves(s2.momentum)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-9, rtol=1e-7)
+    print("ACCUM_MESH_EQUIV_OK")
+
 
 if __name__ == "__main__":
     main()

@@ -122,7 +122,8 @@ def _make_nyu_tree(root, rng, n=4):
 def test_train_cli_one_epoch(tmp_path, monkeypatch, rng, capsys):
     """One full epoch of the training CLI on a synthetic dataset with a
     tiny model: loss logged, checkpoints written, best tracked.  Runs
-    with --bf16 so the mixed-precision wiring is proven at the CLI level
+    with --bf16 AND --accum-steps 2 so the mixed-precision and
+    gradient-accumulation wiring are proven at the CLI level
     (the fp32 CLI path is covered by the resume test below)."""
     from fastdepth_tpu.cli import train as train_cli
     from fastdepth_tpu.config import ModelConfig
@@ -134,7 +135,8 @@ def test_train_cli_one_epoch(tmp_path, monkeypatch, rng, capsys):
 
     tiny_cfg = ModelConfig(encoder_channels=TINY_ENC, decoder_channels=TINY_DEC)
     monkeypatch.setattr(train_cli, "parse_args",
-                        lambda argv=None: _args(tmp_path, bf16=True))
+                        lambda argv=None: _args(tmp_path, bf16=True,
+                                                accum_steps=2))
     import fastdepth_tpu.models as models_pkg
 
     monkeypatch.setattr(models_pkg, "from_name", lambda name: build(tiny_cfg))
@@ -157,7 +159,7 @@ def _args(tmp_path, **over):
         arch="mobilenet-nnconv5dw-skipadd", pretrained_encoder=None,
         epochs=1, batch_size=2, lr=0.01, momentum=0.9, weight_decay=1e-4,
         lr_decay_step=5, lr_decay_gamma=0.2, workers=2, print_freq=1,
-        seed=0, mesh_devices=None, remat=False, bf16=False,
+        seed=0, mesh_devices=None, remat=False, bf16=False, accum_steps=1,
         output_dir=str(tmp_path / "out"),
         eval_batch_size=2, resume=None,
     )
