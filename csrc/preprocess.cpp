@@ -38,7 +38,7 @@ extern "C" {
 // ABI version handshake: the Python loader refuses a stale build whose
 // version doesn't match (the .so is NOT version-controlled; it is built
 // locally with `make -C csrc`).  Bump when any signature below changes.
-int64_t fd_abi_version() { return 2; }
+int64_t fd_abi_version() { return 3; }
 
 // rgb uint8 HWC -> gathered float32 HWC in [0, 1]
 // dst[oh, ow, c] = src[rows[oh], cols[ow], c] / 255
@@ -84,6 +84,96 @@ void fd_chw_to_hwc_u8(const uint8_t* src, int64_t h, int64_t w, uint8_t* dst) {
             out[2] = src[2 * plane + idx];
         }
     }
+}
+
+// ---------------------------------------------------------------------------
+// Train-item kernels (reference dataloaders/nyu.py:26-46): the whole
+// composed geometry (first resize -> rotate -> scale resize -> crop ->
+// flip -> final resize, data/pipeline.py::composed_indices) is ONE flat
+// raw->output gather plus the rotation's zero-pad mask; color jitter is
+// PIL ImageEnhance arithmetic, replicated bit-exactly (the blend is a
+// float32 truncate-then-clip, the 'L' plane the fixed-point dot —
+// sweep-verified against Pillow itself in tests/test_native.py).  All
+// entry points are plain-C over caller-owned buffers, so the ctypes
+// layer releases the GIL for the loader's worker threads.
+
+// PIL convert('L'): (R*19595 + G*38470 + B*7471 + 0x8000) >> 16
+static inline int32_t pil_l(const uint8_t* px) {
+    return static_cast<int32_t>(
+        (px[0] * 19595 + px[1] * 38470 + px[2] * 7471 + 0x8000) >> 16);
+}
+
+// PIL Image.blend: float32 in1 + a*(in2 - in1), C-cast truncation, clip.
+static inline uint8_t pil_blend(float in1, float in2, float alpha) {
+    const float t = in1 + alpha * (in2 - in1);
+    if (t <= 0.0f) return 0;
+    if (t >= 255.0f) return 255;
+    return static_cast<uint8_t>(t);
+}
+
+// Fused composed gather + rotation pad mask (the dominant per-item
+// memory op): rgb_raw is the flattened (raw_h*raw_w, 3) uint8 image,
+// depth_raw the flattened float32 plane; flat[i] indexes the raw plane,
+// mask[i] != 0 marks the rotation's constant-pad region (-> 0).  Depth
+// also divides by the draw's scale s (reference nyu.py:28, depth /= s) —
+// a DIVISION, not a reciprocal multiply, so the result is bit-identical
+// to the numpy fallback's float32 `gathered / s`.
+void fd_train_gather(const uint8_t* rgb_raw, const float* depth_raw,
+                     const int64_t* flat, const uint8_t* mask, int64_t n,
+                     float scale, uint8_t* rgb_out, float* depth_out) {
+    for (int64_t i = 0; i < n; ++i) {
+        if (mask[i]) {
+            rgb_out[i * 3 + 0] = 0;
+            rgb_out[i * 3 + 1] = 0;
+            rgb_out[i * 3 + 2] = 0;
+            depth_out[i] = 0.0f;
+        } else {
+            const uint8_t* px = rgb_raw + flat[i] * 3;
+            rgb_out[i * 3 + 0] = px[0];
+            rgb_out[i * 3 + 1] = px[1];
+            rgb_out[i * 3 + 2] = px[2];
+            depth_out[i] = depth_raw[flat[i]] / scale;
+        }
+    }
+}
+
+// 256-entry value-map apply (brightness/contrast enhance: the LUT
+// itself is built BY Pillow on the Python side, transforms.py
+// _blend_lut, so its arithmetic is PIL's by construction).  dst may
+// alias src for in-place use.
+void fd_lut_u8(const uint8_t* src, int64_t nbytes, const uint8_t* lut,
+               uint8_t* dst) {
+    for (int64_t i = 0; i < nbytes; ++i) dst[i] = lut[src[i]];
+}
+
+// Sum of the PIL 'L' plane over an (n, 3) RGB image — the contrast
+// enhance's degenerate gray is int(mean(L) + 0.5) (ImageEnhance.Contrast);
+// the mean stays exact in the caller's float64 for any image size.
+int64_t fd_l_sum(const uint8_t* img, int64_t n) {
+    int64_t s = 0;
+    for (int64_t i = 0; i < n; ++i) s += pil_l(img + i * 3);
+    return s;
+}
+
+// PIL ImageEnhance.Color (saturation): blend each pixel with its own
+// 'L' gray — the degenerate is per-pixel, so unlike brightness/contrast
+// this cannot be a 1-D LUT.  dst may alias src.
+void fd_blend_gray_u8(const uint8_t* src, int64_t n, float factor,
+                      uint8_t* dst) {
+    for (int64_t i = 0; i < n; ++i) {
+        const uint8_t* px = src + i * 3;
+        uint8_t* out = dst + i * 3;
+        const float g = static_cast<float>(pil_l(px));
+        out[0] = pil_blend(g, static_cast<float>(px[0]), factor);
+        out[1] = pil_blend(g, static_cast<float>(px[1]), factor);
+        out[2] = pil_blend(g, static_cast<float>(px[2]), factor);
+    }
+}
+
+// u8 -> [0,1] f32 (the final /255, reference nyu.py:43)
+void fd_u8_to_unit_f32(const uint8_t* img, int64_t nbytes, float* dst) {
+    const float* lut = unit_lut();
+    for (int64_t i = 0; i < nbytes; ++i) dst[i] = lut[img[i]];
 }
 
 }  // extern "C"

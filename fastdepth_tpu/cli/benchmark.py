@@ -42,6 +42,12 @@ def parse_args(argv=None):
     p.add_argument("--train", action="store_true",
                    help="benchmark the end-to-end TRAIN pipeline (loader + "
                         "augmentations + Trainer step) instead of eval")
+    p.add_argument("--worker-mode", default="thread",
+                   choices=["thread", "process"],
+                   help="loader worker model: GIL-sharing threads (h5py/"
+                        "native kernels release the GIL) or spawned worker "
+                        "processes (the torch num_workers model, reference "
+                        "main.py:40-41)")
     p.add_argument("--json", action="store_true", help="emit one JSON line")
     return p.parse_args(argv)
 
@@ -144,7 +150,8 @@ def train_main(args, model, params):
     def one_pass(epoch):
         loader = BatchLoader(dataset, batch_size=args.batch_size,
                              shuffle=True, num_workers=args.workers,
-                             drop_last=True, pad_last=False, seed=0)
+                             drop_last=True, pad_last=False, seed=0,
+                             worker_mode=args.worker_mode)
         loader.set_epoch(epoch)
         return trainer.run_epoch(loader, epoch, print_freq=0,
                                  log=lambda *a: None)
@@ -161,6 +168,7 @@ def train_main(args, model, params):
         "batch_size": args.batch_size,
         "dtype": "bf16" if args.bf16 else "fp32",
         "workers": args.workers,
+        "worker_mode": args.worker_mode,
         "elapsed_s": round(elapsed, 3),
         "fps": round(frames / elapsed, 1),
         "final_loss": round(float(loss), 4),

@@ -17,6 +17,24 @@ from typing import Iterator, Sequence, Tuple
 
 import numpy as np
 
+# ---------------------------------------------------------------------------
+# Process-worker plumbing (worker_mode='process').  The dataset is shipped
+# ONCE per pool via the initializer (a per-call ``pool.map(dataset.__getitem__,
+# ...)`` would re-pickle the whole dataset every batch); items come back as
+# pickled numpy arrays over the pipe.  Module-level functions, because spawn
+# workers import this module to find them.
+
+_WORKER_DS = None
+
+
+def _process_worker_init(dataset) -> None:
+    global _WORKER_DS
+    _WORKER_DS = dataset
+
+
+def _process_worker_get(index: int):
+    return _WORKER_DS[index]
+
 
 class BatchLoader:
     """Iterates (rgb, depth) NHWC float32 batches over a dataset.
@@ -37,7 +55,24 @@ class BatchLoader:
         drop_last: bool = False,
         seed: int = 0,
         device_put=None,
+        worker_mode: str = "thread",
     ):
+        """``worker_mode='process'`` runs item production in
+        ``num_workers`` SPAWNED worker processes instead of threads — the
+        GIL-free fallback (the torch num_workers=16 worker-process model,
+        reference main.py:40-41) for hosts where the thread pool's
+        Python-side fraction caps scaling.  Spawn (never fork: the parent
+        may hold JAX/TPU runtime state) re-imports cleanly; the dataset
+        ships to each worker once per epoch via the pool initializer, so
+        it must be picklable and per-epoch state (``set_epoch``) must be
+        set BEFORE iterating — both already the Trainer convention.
+        Item results return pickled over pipes (~0.8 MB per 224-square
+        item), so process mode pays an IPC tax per item; measured
+        thread-vs-process items/s on this host: docs/bench_host_train_r4
+        (scripts/bench_host_pipeline.py)."""
+        if worker_mode not in ("thread", "process"):
+            raise ValueError(
+                f"worker_mode must be 'thread' or 'process', got {worker_mode!r}")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -47,6 +82,7 @@ class BatchLoader:
         self.drop_last = drop_last
         self.device_put = device_put
         self.seed = seed
+        self.worker_mode = worker_mode
         self._rng = np.random.RandomState(seed)
 
     def set_epoch(self, epoch: int) -> None:
@@ -64,8 +100,26 @@ class BatchLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def _load_batch(self, pool, indices: Sequence[int]) -> Tuple[np.ndarray, np.ndarray, int]:
-        items = list(pool.map(self.dataset.__getitem__, indices))
+    def _make_pool(self):
+        """(executor, per-index getter) for the configured worker mode."""
+        if self.worker_mode == "process":
+            import multiprocessing as mp
+            from concurrent.futures import ProcessPoolExecutor
+
+            pool = ProcessPoolExecutor(
+                max_workers=self.num_workers,
+                mp_context=mp.get_context("spawn"),
+                initializer=_process_worker_init,
+                initargs=(self.dataset,),
+            )
+            return pool, _process_worker_get
+        return (
+            ThreadPoolExecutor(max_workers=self.num_workers),
+            self.dataset.__getitem__,
+        )
+
+    def _load_batch(self, pool, getter, indices: Sequence[int]) -> Tuple[np.ndarray, np.ndarray, int]:
+        items = list(pool.map(getter, indices))
         rgb = np.stack([it[0] for it in items])
         depth = np.stack([it[1] for it in items])
         count = len(indices)
@@ -89,7 +143,7 @@ class BatchLoader:
         # the pool is LOCAL to this iterator: two live iterators over one
         # loader (overlapping epochs, an abandoned generator held by a
         # traceback) must not shut down or submit into each other's pool
-        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        pool, getter = self._make_pool()
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
         errors: list = []
@@ -112,7 +166,7 @@ class BatchLoader:
                 for idxs in batches:
                     if stop.is_set():
                         return
-                    batch = self._load_batch(pool, idxs)
+                    batch = self._load_batch(pool, getter, idxs)
                     if self.device_put is not None:
                         batch = (
                             self.device_put(batch[0]),
@@ -145,4 +199,4 @@ class BatchLoader:
                     q.get_nowait()
                 except queue.Empty:
                     break
-            pool.shutdown(wait=False)
+            pool.shutdown(wait=False, cancel_futures=True)

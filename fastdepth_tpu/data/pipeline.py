@@ -152,9 +152,24 @@ class TrainPipeline:
                 "color_jitter needs an explicit rng (ColorJitter draws "
                 "its factors from it)")
         flat, mask = self.composed_indices(sample)
-        rgb_out = np.asarray(rgb).reshape(-1, rgb.shape[-1])[flat]
+        rgb = np.asarray(rgb)
+        depth = np.asarray(depth)
+        if rgb.dtype == np.uint8 and rgb.shape[-1] == 3:
+            # fused native path (csrc fd_train_gather; the numpy fallback
+            # inside native.train_gather is bit-identical) — gather+mask
+            # +depth-scale in one GIL-releasing pass, jitter via the
+            # PIL-exact enhance kernels, /255 LUT last
+            from fastdepth_tpu.data import native
+
+            rgb_u8, depth_out = native.train_gather(
+                rgb, depth, flat, mask, sample.scale)
+            if color_jitter is not None:
+                rgb_u8 = color_jitter(rgb_u8, rng)
+            return native.u8_to_unit_f32(rgb_u8), depth_out
+        # generic-dtype path (value-preserving for float inputs)
+        rgb_out = rgb.reshape(-1, rgb.shape[-1])[flat]
         rgb_out[mask] = 0  # the rotation's constant pad (cval=0)
-        depth_out = np.asarray(depth).reshape(-1)[flat] / sample.scale  # nyu.py:28
+        depth_out = depth.reshape(-1)[flat] / sample.scale  # nyu.py:28
         depth_out[mask] = 0.0
         if color_jitter is not None:
             rgb_out = color_jitter(np.ascontiguousarray(rgb_out), rng)

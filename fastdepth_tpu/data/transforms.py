@@ -554,20 +554,40 @@ def _blend_lut(degenerate_rgb: Tuple[int, int, int], factor: float) -> np.ndarra
 
 def adjust_brightness_fast(img: np.ndarray, factor: float) -> np.ndarray:
     """== :func:`adjust_brightness` (ImageEnhance.Brightness degenerate is
-    black), applied as one LUT take instead of a PIL round trip."""
-    return _blend_lut((0, 0, 0), factor)[img]
+    black), applied as one LUT take instead of a PIL round trip (C kernel
+    when built, csrc fd_lut_u8; numpy take otherwise)."""
+    from fastdepth_tpu.data import native
+
+    return native.lut_u8(img, _blend_lut((0, 0, 0), factor))
 
 
 def adjust_contrast_fast(img: np.ndarray, factor: float) -> np.ndarray:
     """== :func:`adjust_contrast`: degenerate is a solid gray at
-    ``int(mean(L) + 0.5)`` (PIL ImageEnhance.Contrast).  The L conversion
-    stays a PIL call (its fixed-point coefficients are version-owned);
-    the mean over the uint8 L plane is integer-exact in float64."""
-    from PIL import Image
+    ``int(mean(L) + 0.5)`` (PIL ImageEnhance.Contrast).  The L plane uses
+    Pillow's own fixed-point coefficients (native.l_mean_rounded,
+    sweep-verified against ``convert('L')`` in tests/test_native.py so a
+    Pillow coefficient change would be caught, not silently diverged
+    from); the mean over the uint8 L plane is integer-exact in
+    float64."""
+    from fastdepth_tpu.data import native
 
-    l_mean = int(np.asarray(
-        Image.fromarray(img).convert("L"), np.float64).mean() + 0.5)
-    return _blend_lut((l_mean, l_mean, l_mean), factor)[img]
+    l_mean = native.l_mean_rounded(img)
+    return native.lut_u8(img, _blend_lut((l_mean, l_mean, l_mean), factor))
+
+
+def adjust_saturation_fast(img: np.ndarray, factor: float) -> np.ndarray:
+    """== :func:`adjust_saturation` (ImageEnhance.Color: blend toward the
+    per-pixel 'L' gray).  The degenerate is per-pixel so no 1-D LUT
+    exists; the C kernel (csrc fd_blend_gray_u8) replicates PIL's
+    float32 truncate-then-clip blend bit-exactly (grid-swept in
+    tests/test_native.py).  Without the built library this stays
+    PIL-direct — the numpy fancy-index form measured slower than PIL's C
+    blend (docs/kernel_notes.md)."""
+    from fastdepth_tpu.data import native
+
+    if native.available():
+        return native.blend_gray_u8(img, factor)
+    return adjust_saturation(img, factor)
 
 
 class ColorJitter:
@@ -596,10 +616,7 @@ class ColorJitter:
             ops.append(lambda im, f=f: adjust_contrast_fast(im, f))
         if self.saturation > 0:
             f = rng.uniform(max(0, 1 - self.saturation), 1 + self.saturation)
-            # saturation's degenerate is per-pixel (the L gray), so its
-            # value map is 2-D; the fancy-index apply measured SLOWER
-            # than PIL's C blend — it stays PIL-direct
-            ops.append(lambda im, f=f: adjust_saturation(im, f))
+            ops.append(lambda im, f=f: adjust_saturation_fast(im, f))
         if self.hue > 0:
             f = rng.uniform(-self.hue, self.hue)
             ops.append(lambda im, f=f: adjust_hue(im, f))

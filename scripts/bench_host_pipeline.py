@@ -1,116 +1,123 @@
-"""Host train-pipeline benchmark: the committed evidence behind the
-round-3 host-pipeline section of docs/kernel_notes.md.
+"""Host-side train-pipeline throughput: items/s produced by the NYU
+augmentation chain (h5 read -> composed rotate-gather -> ColorJitter ->
+/255), WITHOUT any device work — the feeding side of the train balance
+(VERDICT r3 weak #1: the chip trains at ~4.3k fps; how many host cores
+does it take to keep it fed, and does the thread pool actually scale?).
 
-Measures per-item cost of the production composed-gather train pipeline
-against a stepwise reconstruction of the reference chain (separate
-gathers + scipy 4-channel rotate — what the code shipped before the
-rewrite), verifies the two produce IDENTICAL bytes on every measured
-sample, and records the stage breakdown.
+Measures, per worker mode (thread / process) and worker count:
+  * items/s through BatchLoader (the real production path),
+plus a single-core breakdown of the per-item cost (index math, fused
+native gather, jitter, /255) and the native-vs-numpy per-item delta.
 
-    PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_host_pipeline.py \
-        [--out docs/host_pipeline_r3.json]
+Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_host_pipeline.py \
+       [--items 256] [--workers 1,2,4,8] [--modes thread,process] \
+       [--out docs/bench_host_train_r4.json]
 
-CPU-only (no device work); single-thread numbers — scale by host cores,
-modulo the GIL share (docs/kernel_notes.md caveat).
+JAX is NOT imported (pure host measurement; also keeps the single
+tenant TPU free).
 """
-
-from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
 
-from fastdepth_tpu.data import transforms as T
-from fastdepth_tpu.data.pipeline import TrainPipeline, TrainSample
+p = argparse.ArgumentParser()
+p.add_argument("--items", type=int, default=256)
+p.add_argument("--batch-size", type=int, default=32)
+p.add_argument("--workers", default="1,2,4,8")
+p.add_argument("--modes", default="thread,process")
+p.add_argument("--out", default="/tmp/bench_host_pipeline.json")
+args = p.parse_args()
+
+from fastdepth_tpu.cli.benchmark import make_synthetic_tree  # noqa: E402
+from fastdepth_tpu.data import BatchLoader, NYUDataset, native  # noqa: E402
+from fastdepth_tpu.data import transforms as T  # noqa: E402
+from fastdepth_tpu.data.pipeline import TrainSample  # noqa: E402
+
+root = make_synthetic_tree(args.items, "train")
+dataset = NYUDataset(os.path.join(root, "nyudepthv2", "train"), split="train")
+ncores = os.cpu_count()
+results = {"native_built": native.available(), "host_cores": ncores,
+           "items": args.items, "loader": []}
+
+# ---- single-core per-item cost + breakdown -------------------------------
+rgb, depth = dataset.get_raw(0)
+pipe = dataset.train_pipeline
+jit = T.ColorJitter(0.4, 0.4, 0.4)
 
 
-def stepwise_reference(pipe, rgb, depth, s):
-    """The pre-rewrite path: per-stage gathers + scipy rotate of the
-    actual image channels (reference nyu.py:26-46 order)."""
-    depth = depth / s.scale
-    rgb_small = rgb[pipe.rows1][:, pipe.cols1]
-    depth_small = depth[pipe.rows1][:, pipe.cols1]
-    rgb_rot = T.rotate(rgb_small, s.angle)
-    depth_rot = T.rotate(depth_small, s.angle)
-    rows, cols = pipe.post_rotate_indices(s)
-    rgb_out = rgb_rot[rows][:, cols]
-    depth_out = depth_rot[rows][:, cols]
-    return (np.asarray(rgb_out, np.float32) / 255.0,
-            np.asarray(depth_out, np.float32))
+def time_items(fn, n=64):
+    fn()  # warm caches
+    t0 = time.perf_counter()
+    for _ in range(n):
+        fn()
+    return (time.perf_counter() - t0) / n
 
 
-def timed(fn, n, reps=5):
-    best = float("inf")
-    for _ in range(reps):
+r = np.random.RandomState(1)
+t_item = time_items(lambda: dataset[r.randint(len(dataset))])
+lib = native._LIB
+native._LIB = None
+t_item_numpy = time_items(lambda: dataset[r.randint(len(dataset))])
+native._LIB = lib
+
+samples = [TrainSample.draw(np.random.RandomState(i)) for i in range(8)]
+t_idx = time_items(lambda: [pipe.composed_indices(s) for s in samples]) / 8
+flat, mask = pipe.composed_indices(samples[0])
+t_gather = time_items(
+    lambda: [native.train_gather(rgb, depth, flat, mask, s.scale)
+             for s in samples]) / 8
+ru8, _ = native.train_gather(rgb, depth, flat, mask, 1.2)
+t_jit = time_items(lambda: [jit(ru8, np.random.RandomState(3))
+                            for _ in range(8)]) / 8
+t_norm = time_items(lambda: [native.u8_to_unit_f32(ru8) for _ in range(8)]) / 8
+
+results["per_item_ms"] = {
+    "full_item_native": round(t_item * 1e3, 3),
+    "full_item_numpy": round(t_item_numpy * 1e3, 3),
+    "index_math": round(t_idx * 1e3, 3),
+    "fused_gather": round(t_gather * 1e3, 3),
+    "color_jitter": round(t_jit * 1e3, 3),
+    "normalize": round(t_norm * 1e3, 3),
+}
+results["items_per_s_per_core"] = round(1.0 / t_item, 1)
+print(json.dumps(results["per_item_ms"]), flush=True)
+
+# ---- loader throughput by mode x workers ----------------------------------
+for mode in args.modes.split(","):
+    for nw in (int(w) for w in args.workers.split(",")):
+        loader = BatchLoader(dataset, batch_size=args.batch_size,
+                             shuffle=True, num_workers=nw, drop_last=True,
+                             pad_last=False, worker_mode=mode)
+        n = 0
+        # one throwaway batch spins up the pool (process spawn is lazy)
+        it = iter(loader)
+        next(it)
         t0 = time.perf_counter()
-        for _ in range(n):
-            fn()
-        best = min(best, (time.perf_counter() - t0) / n)
-    return best * 1e3
+        for rgb_b, depth_b, count in it:
+            n += count
+        dt = time.perf_counter() - t0
+        row = {"mode": mode, "workers": nw,
+               "items_per_s": round(n / dt, 1), "items": n,
+               "elapsed_s": round(dt, 2)}
+        results["loader"].append(row)
+        print(json.dumps(row), flush=True)
 
-
-def main(argv=None):
-    p = argparse.ArgumentParser()
-    p.add_argument("--out", default="docs/host_pipeline_r3.json")
-    p.add_argument("--calls", type=int, default=40)
-    args = p.parse_args(argv)
-
-    rng = np.random.RandomState(0)
-    rgb = (rng.rand(480, 640, 3) * 255).astype(np.uint8)
-    depth = (rng.rand(480, 640) * 9 + 0.5).astype(np.float32)
-    pipe = TrainPipeline()
-    cj = T.ColorJitter(0.4, 0.4, 0.4)
-
-    # exactness gate first: composed == stepwise on 25 random draws
-    draw_rng = np.random.RandomState(7)
-    for _ in range(25):
-        s = TrainSample.draw(draw_rng)
-        a = pipe(rgb, depth, s)
-        b = stepwise_reference(pipe, rgb, depth, s)
-        np.testing.assert_array_equal(a[0], b[0])
-        np.testing.assert_array_equal(a[1], b[1])
-
-    s = TrainSample(scale=1.23, angle=-3.7, do_flip=True)
-    jr = np.random.RandomState(0)
-    out224 = np.ascontiguousarray(
-        (rng.rand(224, 224, 3) * 255).astype(np.uint8))
-    rows = {
-        "stepwise_geometry_ms": timed(
-            lambda: stepwise_reference(pipe, rgb, depth, s), args.calls),
-        "composed_geometry_ms": timed(
-            lambda: pipe(rgb, depth, s), args.calls),
-        "stepwise_full_ms": timed(
-            lambda: (stepwise_reference(pipe, rgb, depth, s), cj(out224, jr)),
-            args.calls),
-        "composed_full_ms": timed(
-            lambda: pipe(rgb, depth, s, color_jitter=cj, rng=jr), args.calls),
-        "rotate_index_map_ms": timed(
-            lambda: T.rotate_nearest_indices(pipe.h1, pipe.w1, s.angle),
-            args.calls),
-        "scipy_rotate_4ch_ms": timed(
-            lambda: (T.rotate(rgb[pipe.rows1][:, pipe.cols1], s.angle),
-                     T.rotate(depth[pipe.rows1][:, pipe.cols1], s.angle)),
-            args.calls),
-        "color_jitter_ms": timed(lambda: cj(out224, jr), args.calls),
-    }
-    result = {
-        "what": "per-item host train-pipeline cost, 480x640 -> augmented "
-                "224^2 pair, single thread",
-        "exactness": "composed == stepwise reference, 25 random draws, "
-                     "bit-equal (asserted before timing)",
-        "speedup_geometry": round(
-            rows["stepwise_geometry_ms"] / rows["composed_geometry_ms"], 2),
-        "speedup_full": round(
-            rows["stepwise_full_ms"] / rows["composed_full_ms"], 2),
-        **{k: round(v, 3) for k, v in rows.items()},
-    }
-    with open(args.out, "w") as f:
-        json.dump(result, f, indent=1)
-    print(json.dumps(result, indent=1))
-    return result
-
-
-if __name__ == "__main__":
-    main()
+# cores needed to feed the measured device train rate (docs/bench_train_*)
+DEVICE_TRAIN_FPS = 4348.0
+best = max(results["loader"], key=lambda r: r["items_per_s"])
+results["feed_projection"] = {
+    "device_train_fps": DEVICE_TRAIN_FPS,
+    "best_measured": best,
+    "cores_at_linear_scaling": round(
+        DEVICE_TRAIN_FPS / results["items_per_s_per_core"], 1),
+    "note": (f"this host exposes {ncores} core(s); multi-worker rows "
+             "measure overhead, not scaling, when cores == 1"),
+}
+with open(args.out, "w") as f:
+    json.dump(results, f, indent=1)
+    f.write("\n")
+print(json.dumps(results["feed_projection"]))

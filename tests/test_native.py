@@ -46,3 +46,130 @@ def test_numpy_fallback_used_when_lib_missing(monkeypatch, rng):
     cols = np.arange(6, dtype=np.int64)
     out = native.gather_rgb_f32(rgb, rows, cols)
     np.testing.assert_array_equal(out, rgb[:5, :6].astype(np.float32) / 255.0)
+
+
+# ---------------------------------------------------------------------------
+# Train-item kernels (VERDICT r3 item 2): the fused composed-gather and the
+# PIL-exact enhance arithmetic, each checked native AND numpy-fallback
+# against Pillow itself / the reference chain.
+
+
+def _both_paths(fn, monkeypatch):
+    """Run fn() under the native lib (if built) and the numpy fallback;
+    return both results (native result is None when the lib isn't built)."""
+    got_native = fn() if native.available() else None
+    monkeypatch.setattr(native, "_LIB", None)
+    monkeypatch.setattr(native, "_TRIED", True)
+    got_numpy = fn()
+    return got_native, got_numpy
+
+
+def test_l_mean_matches_pillow(rng, monkeypatch):
+    """native.l_mean_rounded uses Pillow's L24 fixed-point coefficients;
+    this sweep catches a Pillow coefficient change (the contrast
+    enhance's degenerate gray depends on it, transforms.py)."""
+    from PIL import Image
+
+    imgs = [(rng.rand(37, 53, 3) * 255).astype(np.uint8) for _ in range(16)]
+    imgs.append(np.zeros((4, 4, 3), np.uint8))
+    imgs.append(np.full((4, 4, 3), 255, np.uint8))
+    for img in imgs:
+        ref = int(np.asarray(
+            Image.fromarray(img).convert("L"), np.float64).mean() + 0.5)
+        got_nat, got_np = _both_paths(
+            lambda img=img: native.l_mean_rounded(img), monkeypatch)
+        assert got_np == ref
+        if got_nat is not None:
+            assert got_nat == ref
+        monkeypatch.undo()
+
+
+def test_blend_gray_matches_pil_saturation_grid(monkeypatch):
+    """fd_blend_gray_u8 == ImageEnhance.Color over a full-value-grid image
+    (every (gray, value) pair reachable) x an enhance-factor sweep —
+    PIL's float32 truncate-then-clip blend, bit-exact both paths."""
+    from PIL import Image, ImageEnhance
+
+    g = np.arange(256, dtype=np.uint8)
+    # 256x256 image: row = R value, col = G value, B fixed — dense gray
+    # coverage without 16M pixels
+    img = np.stack([
+        np.broadcast_to(g[:, None], (256, 256)),
+        np.broadcast_to(g[None, :], (256, 256)),
+        np.full((256, 256), 77, np.uint8),
+    ], axis=-1).copy()
+    for f in (0.6, 0.73, 1.0, 1.25, 1.4):
+        ref = np.array(ImageEnhance.Color(Image.fromarray(img)).enhance(f))
+        got_nat, got_np = _both_paths(
+            lambda f=f: native.blend_gray_u8(img, f), monkeypatch)
+        np.testing.assert_array_equal(got_np, ref, err_msg=f"factor {f}")
+        if got_nat is not None:
+            np.testing.assert_array_equal(got_nat, ref, err_msg=f"factor {f}")
+        monkeypatch.undo()
+
+
+def test_enhance_fast_paths_match_pil_direct(rng, monkeypatch):
+    """adjust_{brightness,contrast,saturation}_fast == the PIL-direct
+    adjust_* forms, native and fallback."""
+    from fastdepth_tpu.data import transforms as T
+
+    img = (rng.rand(41, 59, 3) * 255).astype(np.uint8)
+    for f in (0.6, 0.87, 1.0, 1.18, 1.4):
+        for direct, fast in ((T.adjust_brightness, T.adjust_brightness_fast),
+                             (T.adjust_contrast, T.adjust_contrast_fast),
+                             (T.adjust_saturation, T.adjust_saturation_fast)):
+            ref = direct(img, f)
+            got_nat, got_np = _both_paths(
+                lambda fast=fast, f=f: fast(img, f), monkeypatch)
+            np.testing.assert_array_equal(got_np, ref,
+                                          err_msg=f"{fast.__name__} {f}")
+            if got_nat is not None:
+                np.testing.assert_array_equal(got_nat, ref,
+                                              err_msg=f"{fast.__name__} {f}")
+            monkeypatch.undo()
+
+
+def test_train_gather_native_equals_numpy(rng, monkeypatch):
+    """Fused composed-gather: native == numpy fallback bit-exactly
+    (incl. the float32 depth DIVISION by scale and the rotation pad)."""
+    from fastdepth_tpu.data.pipeline import TrainPipeline, TrainSample
+
+    rgb = (rng.rand(480, 640, 3) * 255).astype(np.uint8)
+    depth = (rng.rand(480, 640) * 10).astype(np.float32)
+    pipe = TrainPipeline()
+    s = TrainSample(scale=1.23, angle=-3.7, do_flip=True)
+    flat, mask = pipe.composed_indices(s)
+
+    def run():
+        return native.train_gather(rgb, depth, flat, mask, s.scale)
+
+    got_nat, got_np = _both_paths(run, monkeypatch)
+    assert got_np[0].dtype == np.uint8 and got_np[1].dtype == np.float32
+    assert np.all(got_np[0][mask] == 0) and np.all(got_np[1][mask] == 0)
+    if got_nat is not None:
+        np.testing.assert_array_equal(got_nat[0], got_np[0])
+        np.testing.assert_array_equal(got_nat[1], got_np[1])
+
+
+def test_full_train_item_native_equals_numpy(rng, monkeypatch):
+    """Whole TrainPipeline.__call__ with jitter: native path == numpy
+    fallback bit-exactly (same rng stream; VERDICT r3 item 2)."""
+    from fastdepth_tpu.data import transforms as T
+    from fastdepth_tpu.data.pipeline import TrainPipeline, TrainSample
+
+    if not native.available():
+        pytest.skip("libfdpreproc.so not built (make -C csrc)")
+    rgb = (rng.rand(480, 640, 3) * 255).astype(np.uint8)
+    depth = (rng.rand(480, 640) * 10).astype(np.float32)
+    pipe = TrainPipeline()
+    s = TrainSample(scale=1.31, angle=2.9, do_flip=False)
+    jit = T.ColorJitter(0.4, 0.4, 0.4)
+    r1, d1 = pipe(rgb, depth, s, color_jitter=jit,
+                  rng=np.random.RandomState(7))
+    monkeypatch.setattr(native, "_LIB", None)
+    monkeypatch.setattr(native, "_TRIED", True)
+    r2, d2 = pipe(rgb, depth, s, color_jitter=jit,
+                  rng=np.random.RandomState(7))
+    assert r1.dtype == np.float32
+    np.testing.assert_array_equal(r1, r2)
+    np.testing.assert_array_equal(d1, d2)
