@@ -38,6 +38,15 @@ def parse_args(argv=None):
     p.add_argument("--randomized-input-timing", action="store_true",
                    help="also time with fresh random inputs (tx2_run_tvm.py:56-65)")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--impl", default="auto",
+                   choices=["auto", "xla", "opt", "mixed"],
+                   help="forward implementation (engine/aot._pick_apply); "
+                        "'mixed' runs each decoder stage on its autotuned "
+                        "winner from --tuning")
+    p.add_argument("--tuning", default=None, metavar="JSON",
+                   help="with --impl mixed: tuning record (tuning/*.json), "
+                        "the analogue of the AutoTVM log the reference's "
+                        "deploy artifact was compiled with")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax.profiler device trace to DIR")
     p.add_argument("--save-bundle", default=None, metavar="PREFIX",
@@ -91,6 +100,10 @@ def main(argv=None):
         if args.bf16:
             raise SystemExit("--bf16 has no effect on a prebuilt bundle "
                              "(precision was baked in at --save-bundle time)")
+        if args.impl != "auto" or args.tuning:
+            raise SystemExit("--impl/--tuning have no effect on a prebuilt "
+                             "bundle (the kernel choice was baked in at "
+                             "--save-bundle time)")
         if args.save_bundle:
             raise SystemExit("--save-bundle requires --model (a bundle is "
                              "already the saved artifact)")
@@ -112,6 +125,7 @@ def main(argv=None):
         print(f"=> compiling for {x.shape} ({dtype.__name__})")
         compiled, prepared = compile_forward(
             model, params, batch_size=1, image_size=(h, w), dtype=dtype,
+            impl=args.impl, tuning=args.tuning,
         )
         fl = flops_estimate(compiled)
         if fl:
@@ -125,7 +139,8 @@ def main(argv=None):
         from fastdepth_tpu.engine.aot import save_bundle
 
         save_bundle(args.save_bundle, model, params, batch_size=1,
-                    image_size=(h, w), dtype=dtype)
+                    image_size=(h, w), dtype=dtype, impl=args.impl,
+                    tuning=args.tuning)
         print(f"=> saved bundle {args.save_bundle}.stablehlo + .npz")
 
     from fastdepth_tpu.engine.profiler import trace

@@ -44,7 +44,11 @@ def parse_args(argv=None):
                         "see parallel/mesh.py)")
     p.add_argument("--no-fold-bn", action="store_true",
                    help="keep BatchNorm unfolded (exact reference numerics)")
-    p.add_argument("--impl", default="auto", choices=["auto", "xla", "opt"],
+    p.add_argument("--tuning", default=None, metavar="JSON",
+                   help="with --impl mixed: tuning record (tuning/*.json) "
+                        "selecting each decoder stage's kernel")
+    p.add_argument("--impl", default="auto",
+                   choices=["auto", "xla", "opt", "mixed"],
                    help="forward impl: auto = head-commute fast path when the "
                         "architecture supports it (bit-exact)")
     p.add_argument("--no-images", action="store_true", help="skip comparison PNGs")
@@ -121,6 +125,7 @@ def main(argv=None):
         mesh=mesh,
         fold_bn=not args.no_fold_bn,
         impl=args.impl,
+        tuning=args.tuning,
         val_pipeline=dataset.val_pipeline if args.device_preprocess else None,
     )
     output_dir = os.path.dirname(os.path.abspath(args.evaluate))

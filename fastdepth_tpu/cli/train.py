@@ -108,7 +108,9 @@ def main(argv=None):
         raise SystemExit(
             f"--eval-batch-size {args.eval_batch_size} must divide by "
             f"--mesh-devices {args.mesh_devices}")
-    if args.accum_steps < 1 or args.batch_size % args.accum_steps:
+    if args.accum_steps < 1:
+        raise SystemExit(f"--accum-steps must be >= 1, got {args.accum_steps}")
+    if args.batch_size % args.accum_steps:
         raise SystemExit(
             f"--batch-size {args.batch_size} must divide by "
             f"--accum-steps {args.accum_steps} (equal microbatches)")

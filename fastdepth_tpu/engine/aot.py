@@ -19,24 +19,46 @@ import numpy as np
 from fastdepth_tpu.models.registry import Model
 
 
-def _pick_apply(model: Model, params, impl: str, batch_size: int = 2):
+def _pick_apply(model: Model, params, impl: str, batch_size: int = 2,
+                tuning=None):
     """'auto' -> head-commute fast path when supported + params folded
     (bit-exact: tests/test_models.py::test_opt_forward_exact); batch 1
     stays on the straight graph (measured slower, docs/frontier.md).
     Folded-ness is read off the params tree, so pre-folded checkpoints
-    (fold_bn=False callers) still get the fast path."""
+    (fold_bn=False callers) still get the fast path.
+
+    'mixed' consumes a tuning record (engine/autotune.py, the analogue of
+    the reference's AutoTVM logs that tx2_run_tvm.py runs): each decoder
+    stage uses whichever of {'xla', 'pallas'} won on this chip.
+    ``tuning`` is a path to a tuning/*.json record or an already-loaded
+    ``{stage: impl}`` winner map."""
     from fastdepth_tpu.models import fused as F
 
-    if impl not in ("auto", "opt", "xla"):
+    if impl not in ("auto", "opt", "xla", "mixed"):
         # a typo'd impl would otherwise silently time the straight graph
         # while the operator believes they measured the opt path
-        raise ValueError(f"impl must be 'auto', 'opt' or 'xla', got {impl!r}")
-    folded = not F.tree_has_bn(params)
-    if impl == "opt" and not folded:
         raise ValueError(
-            "impl='opt' requires BN-folded params ({'w','b'} leaves): "
+            f"impl must be 'auto', 'opt', 'xla' or 'mixed', got {impl!r}")
+    folded = not F.tree_has_bn(params)
+    if impl in ("opt", "mixed") and not folded:
+        raise ValueError(
+            f"impl={impl!r} requires BN-folded params ({{'w','b'}} leaves): "
             "fold via Model.fold (or pass fold_bn=True)"
         )
+    if impl == "mixed":
+        if tuning is None:
+            raise ValueError(
+                "impl='mixed' needs a tuning record: pass tuning=<path to "
+                "tuning/*.json> (or a {stage: 'xla'|'pallas'} dict)")
+        if isinstance(tuning, (str, bytes)):
+            from fastdepth_tpu.engine.autotune import load_tuning
+
+            tuning = load_tuning(tuning)
+        # Pallas kernels only compile on real TPU backends; everywhere
+        # else (CPU test mesh) they run in interpreter mode — same math.
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        return lambda p, x: F.apply_fastdepth_mixed(
+            p, x, model.config, tuning, interpret=interpret)
     use_opt = impl == "opt" or (
         impl == "auto" and folded and batch_size > 1
         and F.supports_opt(model.config)
@@ -46,7 +68,8 @@ def _pick_apply(model: Model, params, impl: str, batch_size: int = 2):
     return model.apply
 
 
-def _prepare(model, params, *, batch_size, image_size, dtype, fold_bn, impl):
+def _prepare(model, params, *, batch_size, image_size, dtype, fold_bn, impl,
+             tuning=None):
     """Shared fold/cast/forward preamble for :func:`compile_forward` and
     :func:`save_bundle` — ONE source, so the serialized bundle can never
     drift from the executable the benchmark CLI times.  Returns
@@ -59,7 +82,7 @@ def _prepare(model, params, *, batch_size, image_size, dtype, fold_bn, impl):
             params,
         )
 
-    apply_fn = _pick_apply(model, params, impl, batch_size)
+    apply_fn = _pick_apply(model, params, impl, batch_size, tuning)
 
     def forward(p, x):
         return apply_fn(p, x.astype(dtype)).astype(jnp.float32)
@@ -80,6 +103,7 @@ def compile_forward(
     fold_bn: bool = True,
     donate: bool = False,
     impl: str = "auto",
+    tuning=None,
 ):
     """Returns (compiled_fn, params_prepared).  compiled_fn(params, rgb)
     is an AOT-compiled executable for the fixed shape.  ``impl='auto'``
@@ -87,7 +111,7 @@ def compile_forward(
     when the architecture supports it."""
     params, forward, p_spec, x_spec = _prepare(
         model, params, batch_size=batch_size, image_size=image_size,
-        dtype=dtype, fold_bn=fold_bn, impl=impl)
+        dtype=dtype, fold_bn=fold_bn, impl=impl, tuning=tuning)
     # donate the INPUT frame buffer only (arg 1); params are reused
     # across calls.  Measured effect on this platform: docs/b1_latency.md
     # (the fp32-in/bf16-compute path never aliases, so XLA may ignore it)
@@ -106,6 +130,7 @@ def save_bundle(
     dtype=jnp.float32,
     fold_bn: bool = True,
     impl: str = "auto",
+    tuning=None,
 ) -> None:
     """Write a deploy bundle: ``<prefix>.stablehlo`` (serialized exported
     function) + ``<prefix>.npz`` (folded params + config).
@@ -121,7 +146,7 @@ def save_bundle(
 
     params, forward, p_spec, x_spec = _prepare(
         model, params, batch_size=batch_size, image_size=image_size,
-        dtype=dtype, fold_bn=fold_bn, impl=impl)
+        dtype=dtype, fold_bn=fold_bn, impl=impl, tuning=tuning)
     exported = jexport.export(jax.jit(forward))(p_spec, x_spec)
     with open(path_prefix + ".stablehlo", "wb") as f:
         f.write(exported.serialize())

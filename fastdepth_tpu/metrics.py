@@ -120,10 +120,17 @@ def evaluate_batch(output: Array, target: Array) -> Dict[str, Array]:
 
 def evaluate(output, target) -> Result:
     """Single-pair convenience wrapper; accepts any shapes that reshape to
-    one (H, W) image each."""
+    one (H, W) image each.  A batch is refused (it would silently be
+    treated as one tall image, skewing every mean) — use
+    :func:`evaluate_batch` for batches."""
     output = jnp.asarray(output)
     target = jnp.asarray(target)
     hw = jnp.squeeze(output).shape
+    if len(hw) != 2:
+        raise ValueError(
+            f"metrics.evaluate is a single-(H, W)-pair contract, got "
+            f"output shape {tuple(output.shape)}; use evaluate_batch for "
+            "batched NHWC inputs")
     output = jnp.reshape(output, (1,) + hw + (1,))
     target = jnp.reshape(target, (1,) + hw + (1,))
     vals = evaluate_batch(output, target)

@@ -97,3 +97,20 @@ def apply_classifier(params: Dict, feats: Array) -> Array:
     x = B.avg_pool(feats, feats.shape[1])  # global 7x7 pool at 224^2 input
     x = jnp.reshape(x, (x.shape[0], -1))
     return x @ params["fc"]["w"] + params["fc"]["b"]
+
+
+def classifier_topk(
+    logits: Array, labels: Array, ks: Tuple[int, ...] = (1, 5)
+) -> Dict[int, Array]:
+    """Top-k accuracies (fractions in [0, 1]) for a (N, classes) logits
+    batch — the torch ImageNet harness's ``accuracy(output, target,
+    topk=(1, 5))`` convention under which the reference's pretrained
+    MobileNet reports its ``best_prec1`` (imagenet/mobilenet.py:65-76).
+
+    Ties resolve like ``torch.topk``/``lax.top_k`` (first index wins);
+    each accuracy is a device scalar, so batched eval stays on device."""
+    kmax = max(ks)
+    _, idx = jax.lax.top_k(logits, kmax)
+    hits = idx == labels[:, None]
+    return {k: jnp.mean(jnp.any(hits[:, :k], axis=1).astype(jnp.float32))
+            for k in ks}

@@ -346,14 +346,14 @@ def fused_decoder_stage_v3(
         kernel,
         grid=(),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # x stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # x stays in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),  # dw_w
             pl.BlockSpec(memory_space=pltpu.VMEM),  # dw_b
             pl.BlockSpec(memory_space=pltpu.VMEM),  # pw_w
             pl.BlockSpec(memory_space=pltpu.VMEM),  # pw_b
-            pl.BlockSpec(memory_space=pltpu.ANY),   # skip (or dummy)
+            pl.BlockSpec(memory_space=pl.ANY),   # skip (or dummy)
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((N, 2 * H, 2 * W, Cout), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((2, B, H, W, C), x.dtype),                    # in

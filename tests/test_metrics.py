@@ -99,3 +99,13 @@ def test_update_batch_equals_updates(rng):
 def test_set_to_worst():
     r = M.Result().set_to_worst()
     assert r.rmse == float("inf") and r.delta1 == 0.0
+
+
+def test_evaluate_refuses_batched_input(rng):
+    """evaluate() is a single-pair contract; a batch would silently be
+    treated as one tall image and skew every mean (VERDICT r3 weak #6)."""
+    import pytest
+
+    out = np.abs(rng.randn(3, 5, 5, 1).astype(np.float32)) + 0.1
+    with pytest.raises(ValueError, match="evaluate_batch"):
+        M.evaluate(out, out)

@@ -132,6 +132,40 @@ def test_imagenet_mobilenet_classifier_matches_torch():
     np.testing.assert_allclose(ref, np.asarray(logits), atol=2e-4)
 
 
+def test_imagenet_classifier_topk_matches_torch_harness():
+    """Top-1/top-5 eval differential vs the torch ImageNet-harness
+    convention (the reference's best_prec1, imagenet/mobilenet.py:65-76):
+    converted-checkpoint logits must pick the same classes AND yield the
+    same accuracy fractions as torch.topk on the torch head's logits."""
+    gen = torch.Generator().manual_seed(4)
+    tm = TorchMobileNetClassifier(TINY_ENC, classes=10, pool=2).eval()
+    randomize_bn_stats(tm, gen)
+    x = torch.randn(16, 3, 64, 64, generator=gen)
+    labels = torch.randint(0, 10, (16,), generator=gen)
+    with torch.no_grad():
+        ref_logits = tm(x)
+    _, ref_top5 = torch.topk(ref_logits, 5, dim=1)
+    ref_acc = {
+        k: (ref_top5[:, :k] == labels[:, None]).any(dim=1).float().mean().item()
+        for k in (1, 5)
+    }
+
+    from fastdepth_tpu.models import mobilenet as MN
+
+    enc, head, _ = C.convert_imagenet_mobilenet(_state_dict_np(tm))
+    feats, _ = MN.apply_encoder(
+        numpy_to_jax(enc), jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    logits = MN.apply_classifier(numpy_to_jax(head), feats)
+    acc = MN.classifier_topk(logits, jnp.asarray(labels.numpy()))
+    # same argmax classes (converted logits match to 2e-4; random logits
+    # are never that close to tied)
+    np.testing.assert_array_equal(
+        np.asarray(jnp.argmax(logits, axis=1)),
+        ref_logits.argmax(dim=1).numpy())
+    for k in (1, 5):
+        np.testing.assert_allclose(float(acc[k]), ref_acc[k], err_msg=f"top{k}")
+
+
 def test_resnet18_encoder_matches_torch_oracle():
     tv = TorchResNetEncoder(18).eval()
     gen = torch.Generator().manual_seed(3)

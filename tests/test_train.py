@@ -537,6 +537,32 @@ def test_accum_step_matches_manual_microbatch_average(rng):
                                    rtol=1e-3, atol=1e-5)
 
 
+def test_accum_rejects_mesh_sharded_batch_without_mesh(rng):
+    """make_train_step(accum_steps>1, mesh=None) fed a batch sharded over
+    several devices: without the mesh pin the partitioner may re-shard
+    the microbatch reshape spatially (dw-conv grads diverge under spatial
+    SPMD, docs/probe_r3_sp_grad.json) — the step must refuse the visible
+    hazard instead of silently training wrong (ADVICE r3)."""
+    import pytest
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from fastdepth_tpu.parallel.mesh import DATA_AXIS, make_mesh
+
+    model = build(CFG)
+    tc = TrainConfig(lr=0.01)
+    step = make_train_step(model, tc, accum_steps=2)  # mesh=None
+    state = sgd_init(model.init(jax.random.PRNGKey(0)))
+    rgb, depth = _data(rng, n=8)
+    mesh = make_mesh(8)
+    sharded_rgb = jax.device_put(rgb, NamedSharding(mesh, P(DATA_AXIS)))
+    sharded_depth = jax.device_put(depth, NamedSharding(mesh, P(DATA_AXIS)))
+    with pytest.raises(ValueError, match="mesh"):
+        step(state, sharded_rgb, sharded_depth, jnp.float32(0.01))
+    # single-device inputs stay accepted (the guard sees 1 device)
+    state2, loss = step(state, rgb, depth, jnp.float32(0.01))
+    assert np.isfinite(float(loss))
+
+
 def test_accum_rejects_indivisible_batch(rng):
     """Unequal microbatches would silently skew BN moments and loss
     weighting — refuse at trace time."""
