@@ -47,12 +47,15 @@ class Evaluator:
         mesh=None,
         fold_bn: bool = True,
         impl: str = "auto",
+        tuning=None,
         val_pipeline=None,
     ):
         """``impl``: 'auto' picks the head-commute fast path
         (models/fused.apply_fastdepth_opt — bit-exact, measured +9% on
         v5e) whenever the architecture supports it and BN is folded;
-        'xla' forces the straight forward; 'opt' forces the fast path.
+        'xla' forces the straight forward; 'opt' forces the fast path;
+        'mixed' runs each decoder stage on its autotuned winner from a
+        ``tuning`` record path / winner map (engine/autotune.py).
 
         ``val_pipeline``: a ``data.pipeline.ValPipeline`` — the whole val
         resize/crop chain is one (rows, cols) gather, so with raw
@@ -78,7 +81,7 @@ class Evaluator:
 
         # one policy source with the AOT/serving paths (impl='opt'
         # folded-params check, b1-stays-straight rule; aot.py:21-41)
-        apply_fn = _pick_apply(model, params, impl, batch_size)
+        apply_fn = _pick_apply(model, params, impl, batch_size, tuning)
 
         gather = None
         min_raw = None
@@ -212,8 +215,10 @@ def validate(
 
     for rgb, depth, count, pred, batch_metrics, t0, data_time in one_ahead(submitted()):
         # host materialization doubles as the device sync: on some PJRT
-        # transports block_until_ready returns early (engine/benchmark.py)
-        stacked = np.asarray(batch_metrics)  # (num_fields, N), one fetch
+        # transports block_until_ready returns early (engine/benchmark.py).
+        # fetch_global == np.asarray single-process; on a multi-process
+        # mesh it all-gathers the cross-host shards (parallel/mesh.py)
+        stacked = mesh_lib.fetch_global(batch_metrics)  # (num_fields, N)
         valid = {f: stacked[i, :count] for i, f in enumerate(M.METRIC_FIELDS)}
         gpu_time = time.time() - t0
         meter.update_batch(valid, gpu_time=gpu_time / count, data_time=data_time / count)

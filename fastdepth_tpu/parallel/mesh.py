@@ -140,11 +140,51 @@ def replicate(mesh: Mesh) -> NamedSharding:
 def put_sharded(batch, mesh: Mesh, axis_name: Optional[str] = None):
     """Host batch -> device(s) per the mesh policy (batch over ``data``,
     height over ``space``).  ``axis_name`` forces batch-only sharding on
-    that axis (back-compat for 1-D call sites)."""
-    if axis_name is not None:
-        return jax.device_put(batch, shard_batch(mesh, axis_name))
-    return jax.device_put(batch, shard_activations(mesh))
+    that axis (back-compat for 1-D call sites).
+
+    Multi-process (``jax.process_count() > 1``, multi-host SPMD over a
+    pod): ``batch`` is this PROCESS'S shard — each process feeds its
+    local portion and the pieces assemble into one global array
+    (``jax.make_array_from_process_local_data``; the global batch is
+    ``local * n_processes`` along the sharded axis).  Single-process
+    callers are unchanged: ``batch`` is the whole (global) batch."""
+    sharding = (shard_batch(mesh, axis_name) if axis_name is not None
+                else shard_activations(mesh))
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding, batch)
+    return jax.device_put(batch, sharding)
 
 
 def put_replicated(tree, mesh: Mesh):
+    """Replicate a (host-identical) pytree to every mesh device.  In
+    multi-process mode every process must pass the SAME host values
+    (params/state are deterministic or checkpoint-loaded on all hosts —
+    the jax.distributed single-program convention)."""
+    if jax.process_count() > 1:
+        sharding = replicate(mesh)
+        return jax.tree.map(
+            lambda a: jax.make_array_from_process_local_data(
+                sharding, np.asarray(a)),
+            tree,
+        )
     return jax.device_put(tree, replicate(mesh))
+
+
+def fetch_global(x) -> np.ndarray:
+    """Device array -> host numpy of the GLOBAL value, on every process.
+
+    Single-process (or fully-addressable / fully-replicated arrays):
+    one plain fetch.  Multi-process sharded arrays are not fully
+    addressable — each host holds only its shards — so the global view
+    is assembled with an all-gather over the processes
+    (jax.experimental.multihost_utils.process_allgather), which is how
+    e.g. the Evaluator's per-image metric stack reaches the report on a
+    pod."""
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    if x.sharding.is_fully_replicated:
+        # every process already holds a complete replica — no collective
+        return np.asarray(x.addressable_data(0))
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
