@@ -39,7 +39,25 @@ def parse_args(argv=None):
     p.add_argument("--half-output", action="store_true",
                    help="return float16 predictions (half the response "
                         "payload; ~1 cm quantization at 10 m)")
-    p.add_argument("--impl", default="auto", choices=["auto", "xla", "opt"])
+    p.add_argument("--impl", default="auto",
+                   choices=["auto", "xla", "opt", "mixed"])
+    p.add_argument("--tuning", default=None, metavar="JSON",
+                   help="with --impl mixed: tuning record (tuning/*.json) "
+                        "whose per-stage winners pick each decoder "
+                        "stage's kernel (the reference runs its AutoTVM-"
+                        "tuned artifact the same way)")
+    p.add_argument("--chain", action="store_true",
+                   help="single-stream latency mode: execute each packed "
+                        "window of --batch-size frames as in-graph "
+                        "SEQUENTIAL batch-1 forwards (device-resident "
+                        "frame chaining) — one dispatch + one fetch per "
+                        "window amortizes the per-call transport floor "
+                        "while every frame runs the batch-1 graph "
+                        "(docs/b1_latency.md, docs/serving.md)")
+    p.add_argument("--stats", action="store_true",
+                   help="client mode: fetch the live stats/health JSON "
+                        "from --socket (frames, occupancy, p50/p99 request "
+                        "latency) and print it")
     p.add_argument("--mesh-spatial", type=int, default=None, metavar="S",
                    help="additionally shard image HEIGHT S-way (spatial "
                         "partitioning; total devices = mesh-devices x S; "
@@ -77,6 +95,14 @@ def main(argv=None, *, _ready=None, _stop=None):
     import numpy as np
 
     from fastdepth_tpu.engine.server import request
+
+    if args.stats:
+        import json
+
+        from fastdepth_tpu.engine.server import request_stats
+
+        print(json.dumps(request_stats(args.socket), indent=1))
+        return 0
 
     if args.ping:
         rgb = np.load(args.ping)
@@ -143,9 +169,11 @@ def main(argv=None, *, _ready=None, _stop=None):
         image_size=tuple(args.image_size),
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         impl=args.impl,
+        tuning=args.tuning,
         input_dtype=np.uint8 if args.uint8 else np.float32,
         output_dtype=np.float16 if args.half_output else np.float32,
         mesh=mesh,
+        chain=args.chain,
     )
     if args.stats_every > 0:
         import threading

@@ -14,8 +14,10 @@ are what keep XLA from retracing.
 
 from __future__ import annotations
 
+import collections
 import queue
 import threading
+import time
 from concurrent.futures import Future, InvalidStateError
 from typing import Optional
 
@@ -65,11 +67,13 @@ class InferenceServer:
         dtype=None,
         fold_bn: bool = True,
         impl: str = "auto",
+        tuning=None,
         max_queue: int = 1024,
         input_dtype=np.float32,
         output_dtype=np.float32,
         pipeline_depth: int = 2,
         mesh=None,
+        chain: bool = False,
     ):
         """``input_dtype=np.uint8`` accepts raw [0,255] frames and
         normalizes (/255) on device — 4x less socket/host-to-device
@@ -121,11 +125,39 @@ class InferenceServer:
             raise ValueError(
                 f"output_dtype must be float32 or float16, got {output_dtype}")
         out_jdt = jnp.float16 if self.output_dtype == np.float16 else jnp.float32
-        apply_fn = _pick_apply(model, params, impl, batch_size)
+        self.chain = bool(chain)
+        if self.chain and mesh is not None:
+            from fastdepth_tpu.parallel import mesh as mesh_lib
+
+            if mesh.shape.get(mesh_lib.DATA_AXIS, 1) > 1:
+                raise ValueError(
+                    "chain mode executes the window SEQUENTIALLY in-graph "
+                    "(batch-1 forwards under lax.map) — a 'data' mesh axis "
+                    "would shard the scan axis.  Use chain with no mesh or "
+                    "a 'space'-only mesh (spatial partitioning cuts each "
+                    "frame's latency; the window is the amortization).")
+        # chain == batch-1 compute: the kernel choice must be the b1 one
+        # (the head-commute opt path is SLOWER at b1, docs/frontier.md)
+        apply_fn = _pick_apply(model, params, impl,
+                               1 if self.chain else batch_size, tuning)
 
         def forward(p, x):
             x = x.astype(dtype) / 255.0 if normalize else x.astype(dtype)
             return apply_fn(p, x).astype(out_jdt)
+
+        if self.chain:
+            # Device-resident frame chaining (single-stream b1 serving):
+            # the packed window of `batch_size` frames executes as
+            # in-graph SEQUENTIAL batch-1 forwards — one dispatch + one
+            # result fetch per window, so the per-call transport floor
+            # (~0.9-1.1 ms through tunneled PJRT, docs/b1_latency.md)
+            # amortizes over the window while each frame still runs the
+            # batch-1 graph the README's latency rows are quoted at
+            # (reference README.md:136).  Measured: docs/b1_serving_r4.
+            inner = forward
+
+            def forward(p, x):
+                return jax.lax.map(lambda xi: inner(p, xi[None])[0], x)
 
         if mesh is not None:
             from fastdepth_tpu.parallel import mesh as mesh_lib
@@ -141,6 +173,12 @@ class InferenceServer:
         self.pipeline_depth = pipeline_depth
         self._frames = 0
         self._batches = 0
+        self._t_start = time.monotonic()
+        # last-N request latencies (submit -> result resolved): enough for
+        # stable p99 at a bounded footprint; guarded by _lat_lock because
+        # resolve() (drainer) and stats() (any client thread) race on it
+        self._lat = collections.deque(maxlen=4096)
+        self._lat_lock = threading.Lock()
         self.batch_size = batch_size
         self.image_size = tuple(image_size)
         self._q: "queue.Queue" = queue.Queue(maxsize=max_queue)
@@ -164,7 +202,7 @@ class InferenceServer:
         if self._stop.is_set():
             raise RuntimeError("server is closed")
         fut: Future = Future()
-        self._q.put((rgb, fut))
+        self._q.put((rgb, fut, time.perf_counter()))
         if self._stop.is_set():
             # close() may have raced between the check above and the put:
             # its post-join drain might already be past our item, which
@@ -179,18 +217,38 @@ class InferenceServer:
         return self.submit(rgb).result()
 
     def stats(self) -> dict:
-        """Served-so-far counters; mean_occupancy is the average fraction
-        of the compiled batch that carried real frames — low values mean
-        the batch size outruns the offered load."""
+        """Served-so-far counters + request-latency distribution.
+        ``mean_occupancy`` is the average fraction of the compiled batch
+        that carried real frames — low values mean the batch size outruns
+        the offered load.  ``latency_ms`` covers the last ≤4096 requests,
+        measured submit -> result resolved (queue wait + pack + device +
+        host fetch — what a client actually experiences); also the wire
+        protocol's health/stats op payload (a zero-length frame,
+        :func:`request_stats`)."""
         b = self._batches
-        return {
+        with self._lat_lock:
+            lat = np.asarray(self._lat, np.float64)
+        out = {
+            "status": "closed" if self._stop.is_set() else "ok",
+            "uptime_s": round(time.monotonic() - self._t_start, 3),
             "frames": self._frames,
             "batches": b,
             "batch_size": self.batch_size,
+            "chain": self.chain,
             "mean_occupancy": round(self._frames / (b * self.batch_size), 3)
             if b else 0.0,
             "queued": self._q.qsize(),
         }
+        if lat.size:
+            p50, p99 = np.percentile(lat, [50, 99])
+            out["latency_ms"] = {
+                "count": int(lat.size),
+                "mean": round(float(lat.mean()) * 1e3, 3),
+                "p50": round(float(p50) * 1e3, 3),
+                "p99": round(float(p99) * 1e3, 3),
+                "max": round(float(lat.max()) * 1e3, 3),
+            }
+        return out
 
     # ---- drainer ----
 
@@ -213,10 +271,13 @@ class InferenceServer:
             try:
                 preds = np.asarray(out)  # host fetch == device sync
             except Exception as e:  # resolve, don't wedge the clients
-                for _, fut in items:
+                for _, fut, _ in items:
                     _resolve_future(fut, exc=e)
                 return
-            for i, (_, fut) in enumerate(items):
+            now = time.perf_counter()
+            with self._lat_lock:
+                self._lat.extend(now - t0 for _, _, t0 in items)
+            for i, (_, fut, _) in enumerate(items):
                 # copy: preds[i] is a view pinning the whole batch buffer
                 _resolve_future(fut, value=preds[i].copy())
 
@@ -242,12 +303,12 @@ class InferenceServer:
                 items.append(nxt)
             # fresh buffer per dispatch: pending batches must not alias
             batch = np.zeros((self.batch_size, h, w, 3), self.input_dtype)
-            for i, (rgb, _) in enumerate(items):
+            for i, (rgb, _, _) in enumerate(items):
                 batch[i] = rgb
             try:
                 out = self._fn(self.params, batch)  # async dispatch
             except Exception as e:
-                for _, fut in items:
+                for _, fut, _ in items:
                     _resolve_future(fut, exc=e)
                 continue
             pending.append((out, items))
@@ -448,6 +509,15 @@ def serve_socket(
                     return  # writer shut the socket down
                 if arr is None:
                     return
+                if arr is STATS_REQUEST:
+                    # health/stats op: answer in request order through the
+                    # writer queue like any prediction (a pipelined client
+                    # may interleave it mid-stream), as a JSON-bytes npy
+                    fut: Future = Future()
+                    fut.set_result(np.frombuffer(
+                        _json_bytes(server.stats()), np.uint8))
+                    out_q.put(fut)
+                    continue
                 try:
                     out_q.put(server.submit(arr))
                 except Exception as e:
@@ -602,6 +672,38 @@ class ProtocolError(ValueError):
     """Malformed wire request (bad length header or non-npy payload)."""
 
 
+#: Wire-protocol stats/health op: a ZERO-length frame (4-byte header of
+#: zeros, no payload).  No legitimate npy serialization is 0 bytes, so
+#: existing clients are unaffected; the response is the same length-
+#: prefixed framing around a uint8 npy of the server's stats() JSON
+#: (the deploy-protocol observability analogue of the reference's
+#: time_evaluator report, tx2_run_tvm.py:42-53).
+STATS_REQUEST = object()
+
+
+def _json_bytes(obj) -> bytes:
+    import json
+
+    return json.dumps(obj).encode("utf-8")
+
+
+def request_stats(sock_path: str) -> dict:
+    """Client side of the stats/health op: one zero-length frame ->
+    the server's :meth:`InferenceServer.stats` dict (incl. the
+    p50/p99 request-latency distribution)."""
+    import json
+
+    c = _connect(sock_path)
+    try:
+        c.sendall((0).to_bytes(4, "big"))
+        out = _recv_npy(c)
+        if out is None:
+            raise ConnectionError("server closed the connection")
+        return json.loads(np.asarray(out).tobytes().decode("utf-8"))
+    finally:
+        c.close()
+
+
 # Upper bound on a framed payload.  The largest legitimate frame is a raw
 # 480x640x3 float32 npy (~3.7 MB); 16 MiB leaves generous slack while a
 # hostile 4-byte header can no longer pin a handler thread (and its
@@ -627,6 +729,8 @@ def _recv_npy(conn, max_payload: int = MAX_PAYLOAD):
     if head is None:
         return None
     n = int.from_bytes(head, "big")
+    if n == 0:
+        return STATS_REQUEST  # health/stats op (no npy is ever 0 bytes)
     if n > max_payload:
         raise ProtocolError(
             f"declared payload {n} bytes exceeds the {max_payload}-byte bound")

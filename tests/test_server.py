@@ -395,6 +395,86 @@ def test_server_stats_counters(rng):
     assert 0 < s["mean_occupancy"] <= 1.0
 
 
+def test_server_chain_mode_matches_direct_forward(rng):
+    """Device-resident frame chaining (VERDICT r3 item 6): the window
+    executes as in-graph sequential batch-1 forwards — results must
+    equal the straight forward, padding and packing included."""
+    model, params = _model_and_params()
+    frames = [rng.rand(HW, HW, 3).astype(np.float32) for _ in range(5)]
+    ref = np.asarray(model.apply(model.fold(params), jnp.asarray(np.stack(frames))))
+    with InferenceServer(model, params, batch_size=4, image_size=(HW, HW),
+                         chain=True) as srv:
+        futs = [srv.submit(f) for f in frames]
+        preds = [f.result(timeout=120) for f in futs]
+        assert srv.stats()["chain"] is True
+    for i, p in enumerate(preds):
+        np.testing.assert_allclose(p, ref[i], atol=1e-5)
+
+
+def test_server_chain_rejects_data_mesh():
+    import pytest
+
+    from fastdepth_tpu.parallel.mesh import make_mesh
+
+    model, params = _model_and_params()
+    with pytest.raises(ValueError, match="chain"):
+        InferenceServer(model, params, batch_size=4, image_size=(HW, HW),
+                        chain=True, mesh=make_mesh(2))
+
+
+def test_server_latency_distribution(rng):
+    """stats()['latency_ms'] tracks submit->resolved per request
+    (VERDICT r3 item 7): count matches, p50 <= p99 <= max, all
+    positive."""
+    model, params = _model_and_params()
+    with InferenceServer(model, params, batch_size=4, image_size=(HW, HW)) as srv:
+        futs = [srv.submit(rng.rand(HW, HW, 3).astype(np.float32))
+                for _ in range(9)]
+        for f in futs:
+            f.result(timeout=60)
+        s = srv.stats()
+    lat = s["latency_ms"]
+    assert lat["count"] == 9
+    assert 0 < lat["p50"] <= lat["p99"] <= lat["max"]
+    assert s["status"] == "ok" and s["uptime_s"] >= 0
+
+
+def test_socket_stats_op(rng, tmp_path):
+    """The wire protocol's zero-length health/stats op: a client gets the
+    live stats JSON (incl. latency percentiles) mid-stream, in request
+    order, without disturbing predictions (VERDICT r3 item 7)."""
+    import json
+    import threading
+
+    from fastdepth_tpu.engine.server import request_stats
+
+    model, params = _model_and_params()
+    sock = str(tmp_path / "fd.sock")
+    stop = threading.Event()
+    ready = threading.Event()
+    with InferenceServer(model, params, batch_size=2, image_size=(HW, HW)) as srv:
+        t = threading.Thread(
+            target=serve_unix_socket, args=(srv, sock),
+            kwargs={"ready": ready, "stop": stop, "log": lambda *a: None},
+            daemon=True)
+        t.start()
+        assert ready.wait(timeout=10)
+        # health probe works before any prediction (no latency block yet)
+        s0 = request_stats(sock)
+        assert s0["status"] == "ok" and s0["frames"] == 0
+        assert "latency_ms" not in s0
+        frame = rng.rand(HW, HW, 3).astype(np.float32)
+        ref = np.asarray(model.apply(model.fold(params), jnp.asarray(frame[None])))[0]
+        np.testing.assert_allclose(request(sock, frame), ref, atol=1e-5)
+        s1 = request_stats(sock)
+        assert s1["frames"] == 1
+        assert s1["latency_ms"]["count"] == 1
+        assert s1["latency_ms"]["p99"] > 0
+        json.dumps(s1)  # the whole payload stays JSON-round-trippable
+        stop.set()
+        t.join(timeout=5)
+
+
 def test_server_float16_output(rng):
     """output_dtype=float16 halves the payload; values match fp32 within
     f16 precision."""
