@@ -24,100 +24,105 @@ import time
 
 import numpy as np
 
-p = argparse.ArgumentParser()
-p.add_argument("--items", type=int, default=256)
-p.add_argument("--batch-size", type=int, default=32)
-p.add_argument("--workers", default="1,2,4,8")
-p.add_argument("--modes", default="thread,process")
-p.add_argument("--out", default="/tmp/bench_host_pipeline.json")
-args = p.parse_args()
+def main(args):
 
-from fastdepth_tpu.cli.benchmark import make_synthetic_tree  # noqa: E402
-from fastdepth_tpu.data import BatchLoader, NYUDataset, native  # noqa: E402
-from fastdepth_tpu.data import transforms as T  # noqa: E402
-from fastdepth_tpu.data.pipeline import TrainSample  # noqa: E402
+    from fastdepth_tpu.cli.benchmark import make_synthetic_tree  # noqa: E402
+    from fastdepth_tpu.data import BatchLoader, NYUDataset, native  # noqa: E402
+    from fastdepth_tpu.data import transforms as T  # noqa: E402
+    from fastdepth_tpu.data.pipeline import TrainSample  # noqa: E402
 
-root = make_synthetic_tree(args.items, "train")
-dataset = NYUDataset(os.path.join(root, "nyudepthv2", "train"), split="train")
-ncores = os.cpu_count()
-results = {"native_built": native.available(), "host_cores": ncores,
-           "items": args.items, "loader": []}
+    root = make_synthetic_tree(args.items, "train")
+    dataset = NYUDataset(os.path.join(root, "nyudepthv2", "train"), split="train")
+    ncores = os.cpu_count()
+    results = {"native_built": native.available(), "host_cores": ncores,
+               "items": args.items, "loader": []}
 
-# ---- single-core per-item cost + breakdown -------------------------------
-rgb, depth = dataset.get_raw(0)
-pipe = dataset.train_pipeline
-jit = T.ColorJitter(0.4, 0.4, 0.4)
+    # ---- single-core per-item cost + breakdown -------------------------------
+    rgb, depth = dataset.get_raw(0)
+    pipe = dataset.train_pipeline
+    jit = T.ColorJitter(0.4, 0.4, 0.4)
 
 
-def time_items(fn, n=64):
-    fn()  # warm caches
-    t0 = time.perf_counter()
-    for _ in range(n):
-        fn()
-    return (time.perf_counter() - t0) / n
-
-
-r = np.random.RandomState(1)
-t_item = time_items(lambda: dataset[r.randint(len(dataset))])
-lib = native._LIB
-native._LIB = None
-t_item_numpy = time_items(lambda: dataset[r.randint(len(dataset))])
-native._LIB = lib
-
-samples = [TrainSample.draw(np.random.RandomState(i)) for i in range(8)]
-t_idx = time_items(lambda: [pipe.composed_indices(s) for s in samples]) / 8
-flat, mask = pipe.composed_indices(samples[0])
-t_gather = time_items(
-    lambda: [native.train_gather(rgb, depth, flat, mask, s.scale)
-             for s in samples]) / 8
-ru8, _ = native.train_gather(rgb, depth, flat, mask, 1.2)
-t_jit = time_items(lambda: [jit(ru8, np.random.RandomState(3))
-                            for _ in range(8)]) / 8
-t_norm = time_items(lambda: [native.u8_to_unit_f32(ru8) for _ in range(8)]) / 8
-
-results["per_item_ms"] = {
-    "full_item_native": round(t_item * 1e3, 3),
-    "full_item_numpy": round(t_item_numpy * 1e3, 3),
-    "index_math": round(t_idx * 1e3, 3),
-    "fused_gather": round(t_gather * 1e3, 3),
-    "color_jitter": round(t_jit * 1e3, 3),
-    "normalize": round(t_norm * 1e3, 3),
-}
-results["items_per_s_per_core"] = round(1.0 / t_item, 1)
-print(json.dumps(results["per_item_ms"]), flush=True)
-
-# ---- loader throughput by mode x workers ----------------------------------
-for mode in args.modes.split(","):
-    for nw in (int(w) for w in args.workers.split(",")):
-        loader = BatchLoader(dataset, batch_size=args.batch_size,
-                             shuffle=True, num_workers=nw, drop_last=True,
-                             pad_last=False, worker_mode=mode)
-        n = 0
-        # one throwaway batch spins up the pool (process spawn is lazy)
-        it = iter(loader)
-        next(it)
+    def time_items(fn, n=64):
+        fn()  # warm caches
         t0 = time.perf_counter()
-        for rgb_b, depth_b, count in it:
-            n += count
-        dt = time.perf_counter() - t0
-        row = {"mode": mode, "workers": nw,
-               "items_per_s": round(n / dt, 1), "items": n,
-               "elapsed_s": round(dt, 2)}
-        results["loader"].append(row)
-        print(json.dumps(row), flush=True)
+        for _ in range(n):
+            fn()
+        return (time.perf_counter() - t0) / n
 
-# cores needed to feed the measured device train rate (docs/bench_train_*)
-DEVICE_TRAIN_FPS = 4348.0
-best = max(results["loader"], key=lambda r: r["items_per_s"])
-results["feed_projection"] = {
-    "device_train_fps": DEVICE_TRAIN_FPS,
-    "best_measured": best,
-    "cores_at_linear_scaling": round(
-        DEVICE_TRAIN_FPS / results["items_per_s_per_core"], 1),
-    "note": (f"this host exposes {ncores} core(s); multi-worker rows "
-             "measure overhead, not scaling, when cores == 1"),
-}
-with open(args.out, "w") as f:
-    json.dump(results, f, indent=1)
-    f.write("\n")
-print(json.dumps(results["feed_projection"]))
+
+    r = np.random.RandomState(1)
+    t_item = time_items(lambda: dataset[r.randint(len(dataset))])
+    lib = native._LIB
+    native._LIB = None
+    t_item_numpy = time_items(lambda: dataset[r.randint(len(dataset))])
+    native._LIB = lib
+
+    samples = [TrainSample.draw(np.random.RandomState(i)) for i in range(8)]
+    t_idx = time_items(lambda: [pipe.composed_indices(s) for s in samples]) / 8
+    flat, mask = pipe.composed_indices(samples[0])
+    t_gather = time_items(
+        lambda: [native.train_gather(rgb, depth, flat, mask, s.scale)
+                 for s in samples]) / 8
+    ru8, _ = native.train_gather(rgb, depth, flat, mask, 1.2)
+    t_jit = time_items(lambda: [jit(ru8, np.random.RandomState(3))
+                                for _ in range(8)]) / 8
+    t_norm = time_items(lambda: [native.u8_to_unit_f32(ru8) for _ in range(8)]) / 8
+
+    results["per_item_ms"] = {
+        "full_item_native": round(t_item * 1e3, 3),
+        "full_item_numpy": round(t_item_numpy * 1e3, 3),
+        "index_math": round(t_idx * 1e3, 3),
+        "fused_gather": round(t_gather * 1e3, 3),
+        "color_jitter": round(t_jit * 1e3, 3),
+        "normalize": round(t_norm * 1e3, 3),
+    }
+    results["items_per_s_per_core"] = round(1.0 / t_item, 1)
+    print(json.dumps(results["per_item_ms"]), flush=True)
+
+    # ---- loader throughput by mode x workers ----------------------------------
+    for mode in args.modes.split(","):
+        for nw in (int(w) for w in args.workers.split(",")):
+            loader = BatchLoader(dataset, batch_size=args.batch_size,
+                                 shuffle=True, num_workers=nw, drop_last=True,
+                                 pad_last=False, worker_mode=mode)
+            n = 0
+            # one throwaway batch spins up the pool (process spawn is lazy)
+            it = iter(loader)
+            next(it)
+            t0 = time.perf_counter()
+            for rgb_b, depth_b, count in it:
+                n += count
+            dt = time.perf_counter() - t0
+            row = {"mode": mode, "workers": nw,
+                   "items_per_s": round(n / dt, 1), "items": n,
+                   "elapsed_s": round(dt, 2)}
+            results["loader"].append(row)
+            print(json.dumps(row), flush=True)
+
+    # cores needed to feed the measured device train rate (docs/bench_train_*)
+    DEVICE_TRAIN_FPS = 4348.0
+    best = max(results["loader"], key=lambda r: r["items_per_s"])
+    results["feed_projection"] = {
+        "device_train_fps": DEVICE_TRAIN_FPS,
+        "best_measured": best,
+        "cores_at_linear_scaling": round(
+            DEVICE_TRAIN_FPS / results["items_per_s_per_core"], 1),
+        "note": (f"this host exposes {ncores} core(s); multi-worker rows "
+                 "measure overhead, not scaling, when cores == 1"),
+    }
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+        f.write("\n")
+    print(json.dumps(results["feed_projection"]))
+
+
+if __name__ == "__main__":  # spawn workers re-import this module: keep
+    # argv parsing and all work behind the guard
+    p = argparse.ArgumentParser()
+    p.add_argument("--items", type=int, default=256)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--workers", default="1,2,4,8")
+    p.add_argument("--modes", default="thread,process")
+    p.add_argument("--out", default="/tmp/bench_host_pipeline.json")
+    main(p.parse_args())
