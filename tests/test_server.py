@@ -239,6 +239,27 @@ def test_serve_cli_stream_ping(rng, tmp_path, capsys):
     assert srv.stats()["frames"] == 9
 
 
+def test_serve_cli_stats_client(rng, tmp_path, capsys):
+    """'cli.serve --stats' fetches the live health/stats JSON over the
+    wire op (VERDICT r3 item 7)."""
+    import json
+
+    from fastdepth_tpu.cli import serve as serve_cli
+
+    model, params = _model_and_params()
+    frame = rng.rand(HW, HW, 3).astype(np.float32)
+    with InferenceServer(model, params, batch_size=4, image_size=(HW, HW)) as srv:
+        sock, stop, t = _live_socket(tmp_path, srv)
+        srv(frame)  # one served frame so latency_ms exists
+        rc = serve_cli.main(["--socket", sock, "--stats"])
+        stop.set()
+        t.join(timeout=5)
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out)
+    assert stats["status"] == "ok" and stats["frames"] == 1
+    assert stats["latency_ms"]["count"] == 1
+
+
 def test_serve_cli_daemon_launch_spatial_mesh(rng, tmp_path):
     """The CLI's daemon-launch path end to end: load an .npz checkpoint,
     build a (data=2, space=4) mesh from --mesh-devices/--mesh-spatial,
