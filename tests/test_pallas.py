@@ -104,6 +104,23 @@ def test_fused_mixed_matches_reference_forward(rng):
     np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-4)
 
 
+def test_fused_mixed_large_batch_chunks_tail_stages(rng):
+    """batch > 8 with pallas-winner LARGE-SPATIAL stages (4-5): the mixed
+    path must grid-limit them (lax.map slices — the Mosaic helper 500s
+    above grid ~8 on this platform) and stay value-identical, including
+    the stage-4 skip add that chunks alongside the activations."""
+    from fastdepth_tpu.models.fused import apply_fastdepth_mixed
+
+    cfg = ModelConfig(encoder_channels=TINY_ENC, decoder_channels=TINY_DEC)
+    model = build(cfg)
+    params = model.fold(model.init(jax.random.PRNGKey(0)))
+    x = jnp.asarray(rng.rand(16, 32, 32, 3).astype(np.float32))
+    ref = model.apply(params, x)
+    winners = {1: "xla", 2: "xla", 3: "xla", 4: "pallas", 5: "pallas"}
+    got = apply_fastdepth_mixed(params, x, cfg, winners, interpret=True)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-4)
+
+
 def test_fused_hybrid_matches_reference_forward(rng):
     from fastdepth_tpu.models.fused import apply_fastdepth_fused_hybrid
 
