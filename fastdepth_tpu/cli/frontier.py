@@ -136,7 +136,10 @@ def main(argv=None):
         tuning_path = os.path.join(
             os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
             "tuning", f"tpuv5lite.{name}.json")
+        from fastdepth_tpu.models.fused import supports_fused
+
         if (jax.default_backend() in ("tpu", "axon")
+                and supports_fused(model.config)  # fused-stage family only
                 and os.path.exists(tuning_path)):
             from fastdepth_tpu.engine.aot import _pick_apply
 

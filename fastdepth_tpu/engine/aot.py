@@ -46,17 +46,37 @@ def _pick_apply(model: Model, params, impl: str, batch_size: int = 2,
             "fold via Model.fold (or pass fold_bn=True)"
         )
     if impl == "mixed":
+        if not F.supports_fused(model.config):
+            raise ValueError(
+                "impl='mixed' runs the fused-stage kernels, which cover "
+                "the MobileNet nnconv5dw skip-add family only; got "
+                f"decoder={model.config.decoder!r} "
+                f"skip={model.config.skip!r}")
         if tuning is None:
             raise ValueError(
                 "impl='mixed' needs a tuning record: pass tuning=<path to "
                 "tuning/*.json> (or a {stage: 'xla'|'pallas'} dict)")
-        if isinstance(tuning, (str, bytes)):
-            from fastdepth_tpu.engine.autotune import load_tuning
-
-            tuning = load_tuning(tuning)
         # Pallas kernels only compile on real TPU backends; everywhere
         # else (CPU test mesh) they run in interpreter mode — same math.
         interpret = jax.default_backend() not in ("tpu", "axon")
+        if isinstance(tuning, (str, bytes)):
+            # winners are measured PER DTYPE (the committed pruned record
+            # flips stages 2/5 between fp32 and bf16) — load both maps and
+            # pick by the compute dtype seen at trace time, so one
+            # _pick_apply serves fp32 and bf16 callers with their own
+            # tuned configuration
+            from fastdepth_tpu.engine.autotune import load_tuning
+
+            maps = {d: load_tuning(tuning, dtype=d)
+                    for d in ("bfloat16", "float32")}
+
+            def mixed(p, x):
+                winners = maps.get(jnp.dtype(x.dtype).name,
+                                   maps["bfloat16"])
+                return F.apply_fastdepth_mixed(
+                    p, x, model.config, winners, interpret=interpret)
+
+            return mixed
         return lambda p, x: F.apply_fastdepth_mixed(
             p, x, model.config, tuning, interpret=interpret)
     use_opt = impl == "opt" or (

@@ -256,14 +256,24 @@ def _device_kind() -> str:
         return "unknown"
 
 
-def load_tuning(path: str) -> Dict[int, str]:
-    """Tuning record -> {stage: 'xla' | 'pallas'} winner map."""
+def load_tuning(path: str, dtype: Optional[str] = None) -> Dict[int, str]:
+    """Tuning record -> {stage: 'xla' | 'pallas'} winner map.
+
+    ``dtype`` ('bfloat16' / 'float32' / a dtype object) selects the
+    winners measured at that compute dtype — the records differ per
+    dtype (e.g. the committed pruned-flagship record flips stages 2 and
+    5 between fp32 and bf16).  Stages with no record at the requested
+    dtype fall back to whatever dtype was measured.  ``None`` keeps the
+    historical bf16 preference."""
+    if dtype is not None and not isinstance(dtype, str):
+        dtype = np.dtype(dtype).name  # ml_dtypes registers bfloat16
+    pref = dtype or "bfloat16"
     with open(path) as f:
         data = json.load(f)
     winners: Dict[int, str] = {}
     for rec in data["records"]:
         if rec.get("winner"):
-            # prefer bf16 records when both dtypes present
-            if rec["stage"] not in winners or rec["dtype"] == "bfloat16":
+            # matching-dtype records override; others only fill gaps
+            if rec["stage"] not in winners or rec["dtype"] == pref:
                 winners[rec["stage"]] = rec["winner"]
     return winners

@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Dict
 
 import jax
+import jax.numpy as jnp
 
 from fastdepth_tpu.config import ModelConfig
 from fastdepth_tpu.models import mobilenet as MN
@@ -202,6 +203,15 @@ def supports_opt(cfg: ModelConfig) -> bool:
     return cfg.encoder == "mobilenet" and cfg.decoder in _NNCONV_NAMES
 
 
+def supports_fused(cfg: ModelConfig) -> bool:
+    """True when the fused/mixed Pallas paths (:func:`_fused_preamble`
+    family) cover this architecture: MobileNet nnconv5dw with additive
+    skips — the kernels bake in the 5×5 dw + 1×1 pw + skip-add stage
+    shape."""
+    return (cfg.encoder == "mobilenet" and cfg.skip == "add"
+            and cfg.decoder_depthwise and cfg.decoder_kernel == 5)
+
+
 def tree_has_bn(params) -> bool:
     """True if any unfolded ``{'w','bn'}`` block remains — the opt/fused
     paths need folded ``{'w','b'}`` leaves.  Inspecting the tree (rather
@@ -249,15 +259,28 @@ def apply_fastdepth_mixed(
                 )
 
             n = y.shape[0]
-            if i >= 4 and n > tail_chunk and n % tail_chunk == 0:
-                k = n // tail_chunk
-                ys = y.reshape(k, tail_chunk, *y.shape[1:])
+            if i >= 4 and n > tail_chunk:
+                # Pad the batch to a tail_chunk multiple: convs are
+                # batch-independent, so zero rows are exact no-ops that
+                # get sliced off after the map.  Without this, a batch
+                # like 12 would dispatch a grid-12 large-spatial kernel,
+                # which this platform's Mosaic helper 500s on.
+                pad = (-n) % tail_chunk
+                yp = (jnp.concatenate(
+                        [y, jnp.zeros((pad, *y.shape[1:]), y.dtype)], 0)
+                      if pad else y)
+                k = yp.shape[0] // tail_chunk
+                ys = yp.reshape(k, tail_chunk, *y.shape[1:])
                 if skip is not None:
-                    ss = skip.reshape(k, tail_chunk, *skip.shape[1:])
+                    sp = (jnp.concatenate(
+                            [skip,
+                             jnp.zeros((pad, *skip.shape[1:]), skip.dtype)],
+                            0) if pad else skip)
+                    ss = sp.reshape(k, tail_chunk, *skip.shape[1:])
                     y = lax.map(lambda a: stage(a[0], a[1]), (ys, ss))
                 else:
                     y = lax.map(lambda v: stage(v, None), ys)
-                y = y.reshape(n, *y.shape[2:])
+                y = y.reshape(k * tail_chunk, *y.shape[2:])[:n]
             else:
                 y = stage(y, skip)
         else:

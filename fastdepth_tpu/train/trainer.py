@@ -74,6 +74,26 @@ def _cast_compute(params, dtype):
     return rec(params)
 
 
+def _guard_unsharded(rgb) -> None:
+    """Refuse a multi-device-sharded batch on an accum_steps>1 step built
+    without a mesh: the microbatch reshape must be pinned to the data
+    axis, or the partitioner may re-shard it spatially and silently
+    diverge dw-conv grads (docs/probe_r3_sp_grad.json).  Only concrete
+    arrays carry a sharding — jit tracers pass through unchecked, so
+    call this on the HOST side of a jit boundary."""
+    try:
+        devs = getattr(rgb.sharding, "device_set", ())
+    except Exception:
+        devs = ()
+    if len(devs) > 1:
+        raise ValueError(
+            "accum_steps > 1 with a batch sharded over "
+            f"{len(devs)} devices requires make_train_step(mesh=...): "
+            "the microbatch reshape must be pinned to the data axis "
+            "(spatial re-sharding diverges dw-conv grads, "
+            "docs/probe_r3_sp_grad.json)")
+
+
 def make_train_step(
     model: Model,
     cfg: TrainConfig,
@@ -163,21 +183,12 @@ def make_train_step(
                 # the pin below, the partitioner may re-shard the
                 # microbatch reshape spatially, silently reproducing the
                 # documented dw-conv grad divergence
-                # (docs/probe_r3_sp_grad.json).  The input's sharding is
-                # only visible on concrete arrays / sharding-carrying
-                # tracers — refuse when we can see it.
-                try:
-                    devs = getattr(rgb.sharding, "device_set", ())
-                except Exception:
-                    devs = ()
-                if len(devs) > 1:
-                    raise ValueError(
-                        "accum_steps > 1 with a batch sharded over "
-                        f"{len(devs)} devices requires "
-                        "make_train_step(mesh=...): the microbatch "
-                        "reshape must be pinned to the data axis "
-                        "(spatial re-sharding diverges dw-conv grads, "
-                        "docs/probe_r3_sp_grad.json)")
+                # (docs/probe_r3_sp_grad.json).  Shardings are only
+                # visible on CONCRETE arrays, so this check fires only
+                # when the step runs un-jitted (a jit tracer has no
+                # .sharding); Trainer guards its jitted mesh=None path
+                # host-side with the same check (_guard_unsharded).
+                _guard_unsharded(rgb)
             rgb_m = rgb.reshape(accum_steps, mb, *rgb.shape[1:])
             depth_m = depth.reshape(accum_steps, mb, *depth.shape[1:])
             if mesh is not None:
@@ -349,7 +360,18 @@ class Trainer:
 
             self.state = put_replicated(self.state, mesh)
         else:
-            self._step = jax.jit(step, donate_argnums=(0,))
+            jitted = jax.jit(step, donate_argnums=(0,))
+            if accum_steps > 1:
+                # the in-step sharded-batch guard cannot fire through a
+                # jit tracer (no .sharding on tracers) — check the
+                # concrete batch on the host side of the jit boundary
+                def guarded(state, rgb, depth, lr):
+                    _guard_unsharded(rgb)
+                    return jitted(state, rgb, depth, lr)
+
+                self._step = guarded
+            else:
+                self._step = jitted
 
     def restore(self, tree) -> None:
         """Resume from a saved training state

@@ -28,8 +28,14 @@ import jax.numpy as jnp
 from fastdepth_tpu.engine.server import InferenceServer
 from fastdepth_tpu.models import fastdepth_pruned
 
-MINUTES = float(sys.argv[1]) if len(sys.argv) > 1 else 5.0
-OUT = sys.argv[sys.argv.index("--out") + 1] if "--out" in sys.argv else "/tmp/soak_r4.json"
+import argparse
+
+_ap = argparse.ArgumentParser()
+_ap.add_argument("minutes", nargs="?", type=float, default=5.0)
+_ap.add_argument("--out", default="/tmp/soak_r4.json")
+_args = _ap.parse_args()
+MINUTES = _args.minutes
+OUT = _args.out
 BATCH = 128
 WINDOW_S = 30.0
 

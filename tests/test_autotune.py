@@ -35,6 +35,85 @@ def test_load_tuning_prefers_bf16(tmp_path):
     assert winners == {1: "pallas", 2: "xla"}
 
 
+def test_load_tuning_selects_by_dtype(tmp_path):
+    """Winners are measured per dtype (the committed pruned record flips
+    stages 2/5 between fp32 and bf16): dtype= must return that dtype's
+    winners, falling back to whatever was measured for uncovered
+    stages."""
+    import numpy as np
+
+    rec = {
+        "config": {}, "device": "x",
+        "records": [
+            {"stage": 1, "dtype": "float32", "winner": "xla"},
+            {"stage": 1, "dtype": "bfloat16", "winner": "pallas"},
+            {"stage": 2, "dtype": "bfloat16", "winner": "pallas"},
+        ],
+    }
+    p = tmp_path / "t.json"
+    p.write_text(json.dumps(rec))
+    assert load_tuning(str(p), dtype="float32") == {1: "xla", 2: "pallas"}
+    assert load_tuning(str(p), dtype="bfloat16") == {1: "pallas", 2: "pallas"}
+    # dtype objects normalize through np.dtype (ml_dtypes bfloat16 too)
+    assert load_tuning(str(p), dtype=np.float32) == {1: "xla", 2: "pallas"}
+
+
+def test_pick_apply_mixed_dispatches_winner_map_by_dtype(tmp_path):
+    """_pick_apply('mixed', tuning=<path>) must run each compute dtype on
+    ITS OWN tuned winner map — the fp32 row of a sweep must not silently
+    run the bf16 winners (review finding r4)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fastdepth_tpu.engine.aot import _pick_apply
+    from fastdepth_tpu.models import build
+
+    rec = {
+        "config": {}, "device": "x",
+        "records": [
+            {"stage": s, "dtype": d, "winner": w}
+            for s in (1, 2, 3, 4, 5)
+            for d, w in (("float32", "xla"), ("bfloat16", "xla"))
+        ],
+    }
+    # make one bf16-only stage 'pallas': in interpret mode both impls are
+    # value-identical, so assert dispatch via the traced jaxpr instead
+    rec["records"][3]["winner"] = "pallas"  # stage 2, bfloat16
+    p = tmp_path / "t.json"
+    p.write_text(json.dumps(rec))
+
+    cfg = ModelConfig(encoder_channels=TINY_ENC, decoder_channels=TINY_DEC)
+    model = build(cfg)
+    params = model.fold(model.init(jax.random.PRNGKey(0)))
+    fwd = _pick_apply(model, params, "mixed", tuning=str(p))
+    x32 = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    jaxpr32 = str(jax.make_jaxpr(fwd)(params, x32))
+    params16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    x16 = x32.astype(jnp.bfloat16)
+    jaxpr16 = str(jax.make_jaxpr(fwd)(params16, x16))
+    # pallas stages trace to pallas_call / custom kernel primitives
+    assert "pallas" not in jaxpr32
+    assert "pallas" in jaxpr16
+
+
+def test_pick_apply_mixed_rejects_unsupported_family():
+    """'mixed' runs the fused-stage kernels (nnconv5dw skip-add only):
+    an unsupported family must be refused up front with a clear error,
+    not crash mid-sweep (frontier emitted guaranteed-FAILED rows)."""
+    import pytest
+
+    from fastdepth_tpu.engine.aot import _pick_apply
+    from fastdepth_tpu.models import build
+
+    cfg = ModelConfig(encoder_channels=TINY_ENC, decoder_channels=TINY_DEC,
+                      skip=None)
+    model = build(cfg)
+    params = model.fold(model.init(__import__("jax").random.PRNGKey(0)))
+    with pytest.raises(ValueError, match="skip-add"):
+        _pick_apply(model, params, "mixed", tuning={1: "xla"})
+
+
 def test_frontier_cli_smoke(tmp_path):
     """cli.frontier end-to-end on CPU: one model, tiny batches, both
     impls; writes the JSON + markdown artifact pair."""

@@ -104,17 +104,20 @@ def test_fused_mixed_matches_reference_forward(rng):
     np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-4)
 
 
-def test_fused_mixed_large_batch_chunks_tail_stages(rng):
+@pytest.mark.parametrize("n", [16, 12])
+def test_fused_mixed_large_batch_chunks_tail_stages(rng, n):
     """batch > 8 with pallas-winner LARGE-SPATIAL stages (4-5): the mixed
     path must grid-limit them (lax.map slices — the Mosaic helper 500s
     above grid ~8 on this platform) and stay value-identical, including
-    the stage-4 skip add that chunks alongside the activations."""
+    the stage-4 skip add that chunks alongside the activations.  n=12
+    exercises the non-multiple-of-8 batch: zero-pad to the chunk
+    multiple, map, slice — 'compiles at any serving batch' means ANY."""
     from fastdepth_tpu.models.fused import apply_fastdepth_mixed
 
     cfg = ModelConfig(encoder_channels=TINY_ENC, decoder_channels=TINY_DEC)
     model = build(cfg)
     params = model.fold(model.init(jax.random.PRNGKey(0)))
-    x = jnp.asarray(rng.rand(16, 32, 32, 3).astype(np.float32))
+    x = jnp.asarray(rng.rand(n, 32, 32, 3).astype(np.float32))
     ref = model.apply(params, x)
     winners = {1: "xla", 2: "xla", 3: "xla", 4: "pallas", 5: "pallas"}
     got = apply_fastdepth_mixed(params, x, cfg, winners, interpret=True)

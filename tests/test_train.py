@@ -562,6 +562,18 @@ def test_accum_rejects_mesh_sharded_batch_without_mesh(rng):
     state2, loss = step(state, rgb, depth, jnp.float32(0.01))
     assert np.isfinite(float(loss))
 
+    # the PRODUCTION path: Trainer jits the step, and a jit tracer has no
+    # .sharding, so the in-step guard is blind there — Trainer must run
+    # the same concrete check host-side before dispatch
+    from fastdepth_tpu.train.trainer import Trainer
+
+    tr = Trainer(model, model.init(jax.random.PRNGKey(0)), tc,
+                 accum_steps=2)  # mesh=None
+    with pytest.raises(ValueError, match="mesh"):
+        tr._step(tr.state, sharded_rgb, sharded_depth, jnp.float32(0.01))
+    _, loss = tr._step(tr.state, rgb, depth, jnp.float32(0.01))
+    assert np.isfinite(float(loss))
+
 
 def test_accum_rejects_indivisible_batch(rng):
     """Unequal microbatches would silently skew BN moments and loss
