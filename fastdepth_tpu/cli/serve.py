@@ -174,6 +174,10 @@ def main(argv=None, *, _ready=None, _stop=None):
         output_dtype=np.float16 if args.half_output else np.float32,
         mesh=mesh,
         chain=args.chain,
+        # the socket readers allocate a FRESH array per received frame
+        # (np.load over the wire bytes) and never touch it after
+        # submit() — the defensive copy would be pure overhead here
+        copy_inputs=False,
     )
     if args.stats_every > 0:
         import threading

@@ -130,6 +130,13 @@ class BatchLoader:
         return rgb, depth, count
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray, int]]:
+        # draw the epoch's order EAGERLY (here, not at the generator's
+        # first next()): the generator body below only runs when first
+        # advanced, so a lazy draw would make overlapping iterators'
+        # orders depend on WHEN each was first consumed.  Drawn at
+        # __iter__ time, the order depends only on the set_epoch/__iter__
+        # call sequence — which the caller controls (and set_epoch(k)
+        # re-seeds, keeping the resume contract exact).
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self._rng.shuffle(order)
@@ -139,7 +146,9 @@ class BatchLoader:
         ]
         if self.drop_last and batches and len(batches[-1]) < self.batch_size:
             batches.pop()
+        return self._iterate(batches)
 
+    def _iterate(self, batches) -> Iterator[Tuple[np.ndarray, np.ndarray, int]]:
         # the pool is LOCAL to this iterator: two live iterators over one
         # loader (overlapping epochs, an abandoned generator held by a
         # traceback) must not shut down or submit into each other's pool

@@ -74,6 +74,7 @@ class InferenceServer:
         pipeline_depth: int = 2,
         mesh=None,
         chain: bool = False,
+        copy_inputs: bool = True,
     ):
         """``input_dtype=np.uint8`` accepts raw [0,255] frames and
         normalizes (/255) on device — 4x less socket/host-to-device
@@ -84,12 +85,16 @@ class InferenceServer:
         ``jax.sharding.Mesh`` — params replicate and each packed batch
         shards per the mesh policy (parallel/mesh.py): batch over a
         'data' axis (batch_size must divide by its size), image height
-        over a 'space' axis (image height must divide by its size)."""
+        over a 'space' axis (image height must divide by its size).
+        ``copy_inputs=False`` skips submit()'s defensive frame copy —
+        only for in-process clients that never mutate a frame after
+        submitting it (the copy is what makes buffer reuse safe)."""
         import jax
         import jax.numpy as jnp
 
         from fastdepth_tpu.engine.aot import _pick_apply
 
+        self._copy_inputs = bool(copy_inputs)
         dtype = dtype or jnp.float32
         if fold_bn:
             params = model.fold(params)
@@ -192,7 +197,12 @@ class InferenceServer:
         """Enqueue one HWC RGB frame of the server's ``input_dtype``;
         returns a Future of the (H, W, 1) ``output_dtype`` prediction."""
         h, w = self.image_size
-        rgb = np.asarray(rgb)
+        # own the frame: the drainer packs it into the device batch at an
+        # unbounded time later (queue wait), so a client reusing its
+        # read buffer would silently answer request k with frame k+1.
+        # copy_inputs=False opts out for in-process perf clients that
+        # never mutate a submitted frame.
+        rgb = np.array(rgb, copy=True) if self._copy_inputs else np.asarray(rgb)
         if rgb.dtype != self.input_dtype:
             raise ValueError(
                 f"expected {self.input_dtype} frames "
@@ -225,17 +235,22 @@ class InferenceServer:
         host fetch — what a client actually experiences); also the wire
         protocol's health/stats op payload (a zero-length frame,
         :func:`request_stats`)."""
+        # read _frames BEFORE _batches (and the drainer increments
+        # _batches before _frames): any interleaving then pairs a stale
+        # frame count with a fresh-or-stale batch count, so occupancy can
+        # transiently UNDERcount but never exceed 1.0
+        f = self._frames
         b = self._batches
         with self._lat_lock:
             lat = np.asarray(self._lat, np.float64)
         out = {
             "status": "closed" if self._stop.is_set() else "ok",
             "uptime_s": round(time.monotonic() - self._t_start, 3),
-            "frames": self._frames,
+            "frames": f,
             "batches": b,
             "batch_size": self.batch_size,
             "chain": self.chain,
-            "mean_occupancy": round(self._frames / (b * self.batch_size), 3)
+            "mean_occupancy": round(f / (b * self.batch_size), 3)
             if b else 0.0,
             "queued": self._q.qsize(),
         }
@@ -261,10 +276,8 @@ class InferenceServer:
         the host sync.  Under light load (nothing else queued) pending
         batches resolve immediately, keeping single-request latency at
         one device step."""
-        from collections import deque
-
         h, w = self.image_size
-        pending: deque = deque()  # (device_out, items)
+        pending = collections.deque()  # (device_out, items)
 
         def resolve(entry):
             out, items = entry
@@ -312,8 +325,8 @@ class InferenceServer:
                     _resolve_future(fut, exc=e)
                 continue
             pending.append((out, items))
-            self._frames += len(items)
             self._batches += 1
+            self._frames += len(items)
             if self._q.empty():
                 while pending:  # light load: resolve now, lowest latency
                     resolve(pending.popleft())
@@ -325,7 +338,14 @@ class InferenceServer:
 
     def close(self):
         self._stop.set()
-        self._q.put(None)
+        try:
+            # never block: on a FULL queue the drainer has already seen
+            # the stop flag (it re-checks every get timeout) and will not
+            # consume a sentinel — a blocking put() would deadlock close()
+            # and every submitter stuck in _q.put() behind it
+            self._q.put_nowait(None)
+        except queue.Full:
+            pass
         self._thread.join(timeout=5)
         # fail anything that raced in behind the sentinel — its future
         # would otherwise never resolve and hang a waiting client
@@ -352,7 +372,12 @@ def parse_address(spec: str):
     so existing ``--socket /tmp/fd.sock`` usage is unchanged."""
     if "/" not in spec and ":" in spec:
         host, _, port = spec.rpartition(":")
-        if port.isdigit():
+        # a bare IPv6 address ('::1') must NOT parse as host '::' port
+        # '1' — an un-bracketed host with ':' in it is never a valid
+        # host:port spec, so fall through to the unix-path branch (which
+        # fails fast on connect with a clear error; IPv6 needs brackets)
+        bracketed = host.startswith("[") and host.endswith("]")
+        if port.isdigit() and (":" not in host or bracketed):
             return ("tcp", host.strip("[]") or "127.0.0.1", int(port))
     return ("unix", spec)
 
@@ -394,7 +419,11 @@ def serve_unix_socket(
         finally:
             probe.close()
     srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
-    srv.bind(sock_path)
+    try:
+        srv.bind(sock_path)
+    except BaseException:
+        srv.close()  # a bind failure must not leak the listening fd
+        raise
 
     def cleanup():
         if os.path.exists(sock_path):
@@ -454,6 +483,12 @@ def serve_socket(
     if ready is not None:
         ready.set()
     log(f"=> serving on {name} (batch {server.batch_size})")
+    # live connections: handler readers block in recv with no timeout, so
+    # a stop request must shutdown() them to unblock (shutdown, not
+    # close — close under a concurrent sendall re-uses a dead fd in
+    # CPython; each handler's own finally does the close)
+    conns: set = set()
+    conns_lock = threading.Lock()
 
     def handle(conn):
         # Pipelined per-connection protocol: the reader thread (this one)
@@ -549,6 +584,8 @@ def serve_socket(
                     pass
                 wt.join(timeout=5)
             conn.close()
+            with conns_lock:
+                conns.discard(conn)
 
     try:
         while not stop.is_set():
@@ -556,9 +593,21 @@ def serve_socket(
                 conn, _ = srv.accept()
             except socket.timeout:
                 continue
+            with conns_lock:
+                conns.add(conn)
             threading.Thread(target=handle, args=(conn,), daemon=True).start()
     finally:
         srv.close()
+        # unblock every reader parked in recv: without this a 'stopped'
+        # server keeps serving its live connections and leaks their
+        # daemon threads for process lifetime
+        with conns_lock:
+            live = list(conns)
+        for c in live:
+            try:
+                c.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
         if cleanup is not None:
             cleanup()
 

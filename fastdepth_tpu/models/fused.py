@@ -245,7 +245,14 @@ def apply_fastdepth_mixed(
     from fastdepth_tpu.ops import blocks as B
 
     dec, y, skips = _fused_preamble(params, x, cfg)
-    block_batches = {1: 8, 2: 4, 3: 2}  # == apply_fastdepth_fused_hybrid
+    # per-stage images-per-grid-step, VMEM-sized for bf16 (==
+    # apply_fastdepth_fused_hybrid); fp32 doubles every block's bytes, so
+    # halve the blocks — at the bf16 sizes the unpruned fp32 widths fail
+    # the remote Mosaic helper (measured: frontier_mixed_r4 sweep)
+    if x.dtype == jnp.float32:
+        block_batches = {1: 4, 2: 2, 3: 1}
+    else:
+        block_batches = {1: 8, 2: 4, 3: 2}
     tail_chunk = 8
     for i in range(1, 6):
         p = dec[f"decode_conv{i}"]

@@ -41,7 +41,10 @@ for input_dtype, name in ((np.float32, "float32"), (np.uint8, "uint8")):
     stop = threading.Event()
     ready = threading.Event()
     with InferenceServer(model, params, batch_size=BATCH, dtype=jnp.bfloat16,
-                         input_dtype=input_dtype) as srv:
+                         input_dtype=input_dtype,
+                         # wire frames arrive freshly allocated per
+                         # request; nothing mutates them after submit
+                         copy_inputs=False) as srv:
         t = threading.Thread(target=serve_unix_socket, args=(srv, sock),
                              kwargs={"ready": ready, "stop": stop,
                                      "log": lambda *a: None}, daemon=True)

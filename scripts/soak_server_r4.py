@@ -46,7 +46,10 @@ frame = (np.random.RandomState(0).rand(224, 224, 3) * 255).astype(np.uint8)
 srv = InferenceServer(model, params, batch_size=BATCH, image_size=(224, 224),
                       dtype=jnp.bfloat16, input_dtype=np.uint8,
                       output_dtype=np.float16, max_queue=8 * BATCH,
-                      pipeline_depth=2)
+                      pipeline_depth=2,
+                      # one immutable frame, submitted repeatedly: skip
+                      # submit()'s defensive copy on the hot path
+                      copy_inputs=False)
 # warmup/compile
 futs = [srv.submit(frame) for _ in range(2 * BATCH)]
 for f in futs:

@@ -204,3 +204,39 @@ def test_batch_loader_abandoned_iteration_releases_producer(nyu_root):
     while producers() and time.time() < deadline:
         time.sleep(0.05)
     assert not producers(), "producer thread still alive after abandon"
+
+
+def test_loader_order_drawn_at_iter_time(rng, tmp_path):
+    """Two overlapping iterators: the shuffle order must be fixed by the
+    __iter__ CALL sequence, not by when each generator is first
+    advanced — else epoch k's order differs between a fresh and a
+    resumed run (the set_epoch contract)."""
+    from fastdepth_tpu.data import BatchLoader
+
+    class _Toy:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            return (np.full((4, 4, 3), i, np.float32),
+                    np.full((4, 4, 1), i, np.float32))
+
+    def first_ids(it):
+        rgb, _, _ = next(it)
+        return sorted(int(v) for v in rgb[:, 0, 0, 0])
+
+    ldr = BatchLoader(_Toy(), batch_size=4, num_workers=1, shuffle=True,
+                      seed=7, drop_last=True)
+    ldr.set_epoch(0)
+    a0 = iter(ldr)   # draws epoch-0 order NOW
+    b0 = iter(ldr)   # draws the follow-on order NOW
+    got_b = first_ids(b0)   # advanced FIRST — must not steal a0's draw
+    got_a = first_ids(a0)
+    # reference: same call sequence, consumed in creation order
+    ldr.set_epoch(0)
+    ra = first_ids(iter(ldr))
+    rb = first_ids(iter(ldr))
+    assert got_a == ra and got_b == rb
+    for it in (a0, b0):  # drain so producer threads exit
+        for _ in it:
+            pass

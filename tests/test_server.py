@@ -97,6 +97,10 @@ def test_parse_address():
     # a path with a colon stays a unix path; a non-numeric port too
     assert parse_address("/tmp/a:b.sock") == ("unix", "/tmp/a:b.sock")
     assert parse_address("host:abc") == ("unix", "host:abc")
+    # a BARE IPv6 address must not split inside itself ('::' port 1):
+    # un-bracketed hosts containing ':' are never host:port specs
+    assert parse_address("::1") == ("unix", "::1")
+    assert parse_address("fe80::2:7000") == ("unix", "fe80::2:7000")
 
 
 def test_tcp_round_trip_and_stream(rng):
@@ -847,3 +851,91 @@ def test_submit_vs_close_race_never_leaves_future_unresolved(rng):
     if fut.exception() is not None:
         assert "closed" in str(fut.exception())
     srv.close()
+
+
+def test_close_does_not_deadlock_on_full_queue(rng):
+    """close() on a server whose queue is FULL: the drainer exits on the
+    stop flag without consuming a sentinel, so a blocking put(None)
+    would deadlock close() (and every submitter parked behind it)."""
+    model, params = _model_and_params()
+    srv = InferenceServer(model, params, batch_size=2, image_size=(HW, HW),
+                          max_queue=4)
+    # wedge the drainer so the queue genuinely fills
+    srv._stop.set()
+    srv._thread.join(timeout=10)
+    assert not srv._thread.is_alive()
+    srv._stop.clear()
+    futs = []
+    frame = rng.rand(HW, HW, 3).astype(np.float32)
+    for _ in range(4):  # == max_queue
+        from concurrent.futures import Future
+
+        fut = Future()
+        srv._q.put((frame, fut, 0.0))
+        futs.append(fut)
+    t = threading.Thread(target=srv.close, daemon=True)
+    t.start()
+    t.join(timeout=10)
+    assert not t.is_alive(), "close() deadlocked on a full queue"
+    for fut in futs:  # the post-join drain must resolve every orphan
+        assert fut.done() and "closed" in str(fut.exception())
+
+
+def test_submit_copies_caller_buffer(rng):
+    """A client streaming from one reusable buffer: the queued frame must
+    be the server's own copy, or request k is silently answered with
+    frame k+1's pixels once the client overwrites the buffer."""
+    model, params = _model_and_params()
+    srv = InferenceServer(model, params, batch_size=2, image_size=(HW, HW))
+    # park the drainer so the queue entry is observable deterministically
+    srv._stop.set()
+    srv._thread.join(timeout=10)
+    srv._stop.clear()
+    buf = rng.rand(HW, HW, 3).astype(np.float32)
+    srv.submit(buf)
+    queued, _, _ = srv._q.get_nowait()
+    assert queued is not buf and not np.shares_memory(queued, buf)
+    np.testing.assert_array_equal(queued, buf)
+    # perf opt-out for in-process clients that never mutate their frames
+    srv2 = InferenceServer(model, params, batch_size=2, image_size=(HW, HW),
+                           copy_inputs=False)
+    srv2._stop.set()
+    srv2._thread.join(timeout=10)
+    srv2._stop.clear()
+    srv2.submit(buf)
+    queued2, _, _ = srv2._q.get_nowait()
+    assert queued2 is buf
+    srv._stop.set()
+    srv2._stop.set()
+
+
+def test_socket_stop_unblocks_live_connections(rng, tmp_path):
+    """Setting the stop event must end LIVE connections, not just the
+    accept loop: handler readers block in recv with no timeout, so a
+    'stopped' daemon would otherwise keep serving its open sockets and
+    leak their threads."""
+    import socket
+    import time as _time
+
+    model, params = _model_and_params()
+    sock_path = str(tmp_path / "fd.sock")
+    ready, stop = threading.Event(), threading.Event()
+    with InferenceServer(model, params, batch_size=2,
+                         image_size=(HW, HW)) as srv:
+        st = threading.Thread(
+            target=serve_unix_socket, args=(srv, sock_path),
+            kwargs=dict(ready=ready, stop=stop, log=lambda *a: None),
+            daemon=True)
+        st.start()
+        assert ready.wait(timeout=30)
+        conn = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        conn.connect(sock_path)  # idle connection, reader parked in recv
+        _time.sleep(0.3)
+        stop.set()
+        st.join(timeout=10)
+        assert not st.is_alive()
+        # the server side must have shut the connection down: the client
+        # sees EOF instead of blocking forever
+        conn.settimeout(10)
+        assert conn.recv(1) == b""
+        conn.close()
