@@ -398,7 +398,14 @@ def convert_resnet_plain(
         "conv2": _conv(sd, "conv2"),
         "decoder": decoder,
     }
-    cfg = ModelConfig(encoder=f"resnet{layers}", decoder=dec_name, skip=None)
+    # infer the decoder widths from the converted tree (exactly like
+    # convert_mobilenet_plain): recording the default unpruned widths
+    # would silently mismatch any re-init from this config for a
+    # non-default (pruned/custom) decoder
+    cfg = ModelConfig(encoder=f"resnet{layers}", decoder=dec_name, skip=None,
+                      decoder_channels=_infer_decoder_channels(
+                          decoder, dec_name))
+    cfg.validate()
     return params, cfg
 
 

@@ -28,6 +28,11 @@ class ValPipeline:
     rows: np.ndarray
     cols: np.ndarray
     output_size: Tuple[int, int]
+    # the exact raw frame dims the rows/cols were computed for: consumers
+    # (Evaluator's trace-time guard) must reject any OTHER raw size — a
+    # larger frame passes a max-index bound check but gathers with the
+    # wrong resize ratio, silently skewing every metric
+    raw_size: Optional[Tuple[int, int]] = None
 
     @classmethod
     def create(
@@ -45,7 +50,8 @@ class ValPipeline:
         i0, j0 = T.center_crop_offsets(h1, w1, th, tw)
         rows2 = T.nearest_resize_indices(th, output_size[0])
         cols2 = T.nearest_resize_indices(tw, output_size[1])
-        return cls(rows=rows1[i0 + rows2], cols=cols1[j0 + cols2], output_size=output_size)
+        return cls(rows=rows1[i0 + rows2], cols=cols1[j0 + cols2],
+                   output_size=output_size, raw_size=(h, w))
 
     def __call__(self, img: np.ndarray) -> np.ndarray:
         """Apply to one HW or HWC image (any dtype; value-preserving)."""
@@ -167,12 +173,19 @@ class TrainPipeline:
                 rgb_u8 = color_jitter(rgb_u8, rng)
             return native.u8_to_unit_f32(rgb_u8), depth_out
         # generic-dtype path (value-preserving for float inputs)
+        if color_jitter is not None:
+            # the jitter kernels are defined on uint8 only (PIL-exact
+            # enhance LUTs; the reference jitters uint8 PIL images,
+            # nyu.py:36) — calling them here would crash with an opaque
+            # dtype error from deep inside PIL/the native lib
+            raise ValueError(
+                "color_jitter needs uint8 3-channel RGB frames; got "
+                f"dtype={rgb.dtype} with shape {rgb.shape} — jitter "
+                "before converting, or feed raw uint8 items")
         rgb_out = rgb.reshape(-1, rgb.shape[-1])[flat]
         rgb_out[mask] = 0  # the rotation's constant pad (cval=0)
         depth_out = depth.reshape(-1)[flat] / sample.scale  # nyu.py:28
         depth_out[mask] = 0.0
-        if color_jitter is not None:
-            rgb_out = color_jitter(np.ascontiguousarray(rgb_out), rng)
         return (
             np.asarray(rgb_out, dtype=np.float32) / 255.0,
             np.asarray(depth_out, dtype=np.float32),

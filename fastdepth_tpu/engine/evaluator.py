@@ -84,29 +84,39 @@ class Evaluator:
         apply_fn = _pick_apply(model, params, impl, batch_size, tuning)
 
         gather = None
-        min_raw = None
+        want_raw = None
         if val_pipeline is not None:
             gather = (jnp.asarray(val_pipeline.rows), jnp.asarray(val_pipeline.cols))
-            # smallest input the gather is valid for: under jit, out-of-
-            # range indices CLAMP instead of raising, so feeding already-
-            # preprocessed (e.g. 224x224) items would silently produce
-            # garbage metrics without this trace-time guard
-            min_raw = (int(np.max(val_pipeline.rows)) + 1,
-                       int(np.max(val_pipeline.cols)) + 1)
+            # the EXACT raw dims the gather indices were computed for:
+            # under jit, out-of-range indices CLAMP instead of raising,
+            # so a smaller (preprocessed) frame would silently produce
+            # garbage; a LARGER frame passes any max-index bound yet
+            # gathers with the wrong resize ratio — also silently wrong.
+            # ValPipeline.create records raw_size; fall back to the
+            # max-index bound for hand-built pipelines without it.
+            want_raw = getattr(val_pipeline, "raw_size", None) or (
+                int(np.max(val_pipeline.rows)) + 1,
+                int(np.max(val_pipeline.cols)) + 1)
+            exact = getattr(val_pipeline, "raw_size", None) is not None
 
         def step(params, rgb, depth):
             if gather is not None:
                 # BOTH tensors are gathered below; a preprocessed depth
                 # next to a raw rgb would clamp-gather silently otherwise
                 for name, t in (("rgb", rgb), ("depth", depth)):
-                    if t.shape[1] < min_raw[0] or t.shape[2] < min_raw[1]:
+                    bad = (tuple(t.shape[1:3]) != tuple(want_raw) if exact
+                           else (t.shape[1] < want_raw[0]
+                                 or t.shape[2] < want_raw[1]))
+                    if bad:
                         raise ValueError(
-                            f"val_pipeline gather needs raw frames of at "
-                            f"least {min_raw[0]}x{min_raw[1]} (rows/cols "
-                            f"index that far), got {t.shape[1]}x"
-                            f"{t.shape[2]} for {name} — use "
-                            f"NYUDataset(raw_items=True), or drop "
-                            f"val_pipeline for preprocessed items")
+                            f"val_pipeline gather was built for "
+                            f"{'exactly ' if exact else 'at least '}"
+                            f"{want_raw[0]}x{want_raw[1]} raw frames, "
+                            f"got {t.shape[1]}x{t.shape[2]} for {name} "
+                            f"— use NYUDataset(raw_items=True) with "
+                            f"matching frames, build the pipeline with "
+                            f"raw_size=({t.shape[1]}, {t.shape[2]}), or "
+                            f"drop val_pipeline for preprocessed items")
                 rows, cols = gather
                 rgb = rgb[:, rows][:, :, cols]
                 depth = depth[:, rows][:, :, cols]
@@ -195,8 +205,10 @@ def validate(
                 # jit trace+compile (minutes on this platform's cold
                 # cache), which would poison avg.gpu_time by orders of
                 # magnitude; one duplicated batch of real compute is the
-                # cheap price of honest timing
-                np.asarray(evaluator(rgb_d, depth_d)[1])
+                # cheap price of honest timing.  fetch_global, not
+                # np.asarray: on a multi-process mesh the metrics array
+                # spans non-addressable devices (same as the main fetch)
+                mesh_lib.fetch_global(evaluator(rgb_d, depth_d)[1])
                 first = False
             t0 = time.time()
             pred, batch_metrics = evaluator(rgb_d, depth_d)
@@ -226,13 +238,20 @@ def validate(
         # comparison strip: every 50th of the first 8*50 images
         # (main.py:85-98)
         if make_images and output_dir is not None:
+            # fetch the pred batch ONCE and only when a strip row is due:
+            # pred is device-sharded, and np.asarray on a per-image slice
+            # crashes on a multi-process mesh (non-addressable shards)
+            pred_np = None
+            if any((seen + i) % 50 == 0 and (seen + i) < 8 * 50
+                   for i in range(count)):
+                pred_np = mesh_lib.fetch_global(pred)
             for i in range(count):
                 gi = seen + i
                 if gi % 50 == 0 and gi < 8 * 50:
                     r_i, d_i = np.asarray(rgb[i]), np.asarray(depth[i])
                     if viz_transform is not None:
                         r_i, d_i = viz_transform(r_i), viz_transform(d_i)
-                    row = viz.merge_into_row(r_i, d_i, np.asarray(pred[i]))
+                    row = viz.merge_into_row(r_i, d_i, pred_np[i])
                     img_merge = row if img_merge is None else viz.add_row(img_merge, row)
                 elif gi == 8 * 50 and img_merge is not None and not img_saved:
                     viz.save_image(img_merge, os.path.join(output_dir, f"comparison_{epoch}.png"))

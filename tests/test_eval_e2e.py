@@ -226,6 +226,13 @@ def test_val_pipeline_rejects_preprocessed_frames(nyu_val_root, torch_ckpt):
     depth = jnp.zeros((2, 224, 224, 1), jnp.float32)
     with pytest.raises(ValueError, match="raw frames"):
         ev(rgb, depth)
+    # LARGER frames must be rejected too: they pass any max-index bound
+    # but the gather's resize ratio was computed for exactly 480x640 —
+    # the metrics would be silently skewed (review finding r4)
+    rgb_big = jnp.zeros((2, 488, 648, 3), jnp.float32)
+    depth_big = jnp.zeros((2, 488, 648, 1), jnp.float32)
+    with pytest.raises(ValueError, match="exactly"):
+        ev(rgb_big, depth_big)
 
 
 def test_validate_empty_loader_raises(torch_ckpt):

@@ -750,3 +750,43 @@ def test_basic_block_skip_tree_unchanged_by_extension_code():
     # reference concat widths 768/384/192/128 (models.py:598-602)
     assert [pc["decoder"][f"decode_conv{i}"]["conv"]["w"].shape[2]
             for i in range(1, 6)] == [1024, 768, 384, 192, 128]
+
+
+def test_plain_resnet_converter_infers_custom_decoder_widths(tmp_path):
+    """convert_resnet_plain must record the decoder widths it actually
+    converted (like convert_mobilenet_plain does) — recording the
+    default unpruned widths would make any re-init from the config
+    silently mismatch a pruned/custom decoder (review finding r4)."""
+    import torch.nn as nn
+
+    import torch_oracle as TO
+    from fastdepth_tpu.checkpoint.convert import convert_checkpoint
+    from torch_oracle import TorchResNetEncoder, randomize_bn_stats
+
+    dec = TO.DeConv()
+    specs = [(1024, 400), (400, 200), (200, 100), (100, 48), (48, 24)]
+    for i, (cin, cout) in enumerate(specs, 1):
+        setattr(dec, f"convt{i}", nn.Sequential(
+            nn.ConvTranspose2d(cin, cout, 3, 2, 1, 1, bias=False),
+            nn.BatchNorm2d(cout), nn.ReLU(inplace=True)))
+    dec.convf = nn.Sequential(nn.Conv2d(24, 1, 1, bias=False),
+                              nn.BatchNorm2d(1), nn.ReLU(inplace=True))
+    tm = TO.ResNet()
+    enc = TorchResNetEncoder(18)
+    for name in ("conv1", "bn1", "maxpool", "layer1", "layer2", "layer3",
+                 "layer4"):
+        setattr(tm, name, getattr(enc, name))
+    tm.conv2 = nn.Conv2d(512, 1024, 1)
+    tm.decoder = dec
+    tm = tm.eval()
+    randomize_bn_stats(tm, torch.Generator().manual_seed(3))
+
+    path = str(tmp_path / "rp_custom.pth.tar")
+    torch.save({"epoch": 1, "best_result": None, "model": tm}, path)
+    params, cfg, _ = convert_checkpoint(path)
+    assert cfg.decoder_channels == (400, 200, 100, 48, 24)
+    # a model re-initialized FROM the config must accept the converted
+    # params (the regression deferred the mismatch to jit trace time)
+    out = build(cfg).apply(numpy_to_jax(params),
+                           jnp.zeros((1, 64, 64, 3), jnp.float32))
+    assert out.shape == (1, 64, 64, 1)

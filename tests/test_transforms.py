@@ -413,3 +413,23 @@ def test_adjust_hue_negative_factor():
     assert b[0, 0].argmax() == 2, b[0, 0]
     # identity at factor 0
     np.testing.assert_array_equal(T.adjust_hue(img, 0.0), img)
+
+
+def test_train_pipeline_rejects_float_jitter(rng):
+    """ColorJitter is defined on uint8 frames only (PIL-exact enhance
+    LUTs; the reference jitters uint8 PIL images) — a float frame with
+    jitter must fail loudly up front, not crash with an opaque dtype
+    error from inside PIL or the native lib (review finding r4)."""
+    import pytest
+
+    pipe = TrainPipeline()
+    s = TrainSample(scale=1.2, angle=2.0, do_flip=False)
+    rgb_f32 = rng.rand(480, 640, 3).astype(np.float32) * 255.0
+    depth = rng.rand(480, 640).astype(np.float32) * 5.0
+    jitter = T.ColorJitter(0.4, 0.4, 0.4)
+    with pytest.raises(ValueError, match="uint8"):
+        pipe(rgb_f32, depth, s, color_jitter=jitter,
+             rng=np.random.RandomState(0))
+    # the float path WITHOUT jitter stays first-class (value-preserving)
+    out_rgb, out_depth = pipe(rgb_f32, depth, s)
+    assert out_rgb.shape == (224, 224, 3) and out_depth.shape == (224, 224)
