@@ -9,13 +9,21 @@ itself, imported at test time:
 * ``/root/reference/models.py`` — ``MobileNetSkipAdd`` (reference
   models.py:654-732) built verbatim with ``pretrained=False``,
 * ``/root/reference/metrics.py`` — ``Result.evaluate`` /
-  ``AverageMeter`` (reference metrics.py:31-95).
+  ``AverageMeter`` (reference metrics.py:31-95),
+* ``/root/reference/dataloaders/transforms.py`` — the train-augmentation
+  classes ``Rotate``, ``CenterCrop``, ``HorizontalFlip``, ``ColorJitter``
+  and the ``adjust_*`` enhance functions (transforms.py:34-170,288-308,
+  344-405,485-578), which import and execute under current scipy/PIL.
 
 ``torchvision`` (absent from this image) is stubbed: models.py imports it
-at module level but ``MobileNetSkipAdd`` never touches it.  The reference
-transforms cannot run (``scipy.misc.imresize`` no longer exists), so scope
-is model + metrics — exactly the two places a shared transcription error
-could hide.
+at module level but ``MobileNetSkipAdd`` never touches it.  Of the
+reference transform library only ``Resize`` (transforms.py:311-341) is
+genuinely dead — it calls ``scipy.misc.imresize``, removed from scipy —
+so the resize chain stays on the Pillow sweep (tests/test_transforms.py,
+which drives Pillow itself as the oracle); every OTHER geometric and
+photometric train op is differentially tested here against the
+reference's own classes, bit-for-bit, including the jitter's
+random-factor/random-order protocol driven from the same RNG state.
 """
 
 import importlib.util
@@ -77,6 +85,17 @@ def ref_modules():
                 sys.modules.pop(k, None)
             else:
                 sys.modules[k] = v
+
+
+@pytest.fixture(scope="module")
+def ref_transforms():
+    """The reference's own transform library (dataloaders/transforms.py).
+    Imports cleanly under current scipy/PIL; only its ``Resize.__call__``
+    is dead (scipy.misc.imresize) and is never invoked here."""
+    path = os.path.join(REF, "dataloaders", "transforms.py")
+    if not os.path.isfile(path):
+        pytest.skip(f"reference tree not available at {REF}")
+    return _load("ref_transforms", path)
 
 
 @pytest.fixture(scope="module")
@@ -216,3 +235,159 @@ def test_e2e_validate_matches_reference_pipeline(ref_modules, ref_fastdepth, tmp
               "delta3", "irmse", "imae"):
         np.testing.assert_allclose(
             getattr(avg, f), getattr(ref_avg, f), rtol=1e-4, err_msg=f)
+
+
+# ---------------------------------------------------------------------------
+# Transform differentials against the reference's OWN classes
+# (dataloaders/transforms.py:288-308,344-405,485-578).  These are the
+# train-augmentation ops (nyu.py:26-46); the val/train resize steps are
+# excluded only because the reference's Resize is the one op that cannot
+# execute (scipy.misc.imresize) — those stay on the direct-Pillow sweep.
+
+
+def _rgb_depth(seed=11, shape=(48, 64)):
+    r = np.random.RandomState(seed)
+    rgb = (r.rand(*shape, 3) * 255).astype(np.uint8)
+    depth = (r.rand(*shape) * 9 + 0.1).astype(np.float32)
+    return rgb, depth
+
+
+@pytest.mark.parametrize("angle", [-5.0, -2.5, -0.7, 0.0, 1.3, 3.75, 5.0])
+def test_rotate_matches_reference(ref_transforms, angle):
+    """Our rotate + the pipeline's gather-map form vs the reference's own
+    ``Rotate`` (scipy order-0, reshape=False; transforms.py:288-308), on
+    uint8 RGB and float depth.  The gather form is what TrainPipeline
+    actually executes (data/pipeline.py::composed_indices)."""
+    from fastdepth_tpu.data import transforms as T
+
+    rgb, depth = _rgb_depth()
+    for img in (rgb, depth):
+        ref = ref_transforms.Rotate(angle)(img)
+        np.testing.assert_array_equal(T.rotate(img, angle), ref)
+        # gather-map replay: -1 == scipy's constant pad (cval=0)
+        flat = T.rotate_nearest_indices(*img.shape[:2], angle)
+        out = img.reshape(-1, *img.shape[2:])[np.where(flat < 0, 0, flat)]
+        out[flat < 0] = 0
+        np.testing.assert_array_equal(out, ref)
+
+
+@pytest.mark.parametrize(
+    "in_shape,out_size",
+    [((48, 64), (30, 40)), ((47, 63), (30, 41)), ((250, 333), (228, 304)),
+     ((48, 64), (47, 64)), ((48, 64), 30)])
+def test_center_crop_matches_reference(ref_transforms, in_shape, out_size):
+    """Banker's-rounded offsets vs the reference's own ``CenterCrop``
+    (transforms.py:344-405), odd/even extents and the int-size square
+    form, on RGB and depth."""
+    from fastdepth_tpu.data import transforms as T
+
+    r = np.random.RandomState(4)
+    rgb = (r.rand(*in_shape, 3) * 255).astype(np.uint8)
+    depth = r.rand(*in_shape).astype(np.float32)
+    size = (out_size, out_size) if isinstance(out_size, int) else out_size
+    for img in (rgb, depth):
+        np.testing.assert_array_equal(
+            T.center_crop(img, size), ref_transforms.CenterCrop(out_size)(img))
+
+
+@pytest.mark.parametrize("do_flip", [False, True])
+def test_horizontal_flip_matches_reference(ref_transforms, do_flip):
+    from fastdepth_tpu.data import transforms as T
+
+    rgb, depth = _rgb_depth()
+    for img in (rgb, depth):
+        np.testing.assert_array_equal(
+            T.horizontal_flip(img, do_flip),
+            ref_transforms.HorizontalFlip(do_flip)(img))
+
+
+def test_composed_geometry_matches_reference(ref_transforms):
+    """Rotate -> CenterCrop -> HFlip chained through the reference's own
+    Compose vs our transforms, at the train pipeline's 250x333
+    intermediate (nyu.py:33-39 minus the dead Resize steps)."""
+    from fastdepth_tpu.data import transforms as T
+
+    r = np.random.RandomState(9)
+    rgb = (r.rand(250, 333, 3) * 255).astype(np.uint8)
+    depth = (r.rand(250, 333) * 9).astype(np.float32)
+    for angle, flip in [(-4.2, True), (1.9, False), (5.0, True)]:
+        ref_chain = ref_transforms.Compose([
+            ref_transforms.Rotate(angle),
+            ref_transforms.CenterCrop((228, 304)),
+            ref_transforms.HorizontalFlip(flip),
+        ])
+        for img in (rgb, depth):
+            ours = T.horizontal_flip(
+                T.center_crop(T.rotate(img, angle), (228, 304)), flip)
+            np.testing.assert_array_equal(ours, ref_chain(img))
+
+
+@pytest.mark.parametrize("seed", list(range(20)))
+def test_color_jitter_protocol_matches_reference(ref_transforms, seed):
+    """The full jitter protocol — random factors drawn b/c/s in order,
+    random op-order shuffle, PIL enhance arithmetic — vs the reference's
+    own ``ColorJitter(0.4, 0.4, 0.4)`` (transforms.py:513-578, the exact
+    NYU configuration, dataloader.py:46).  Both sides draw from the same
+    MT19937 state: the reference from the freshly-seeded global
+    ``np.random``, ours from ``RandomState(seed)`` — identical legacy
+    streams — so factor values AND shuffle order coincide and the uint8
+    outputs must be bit-equal."""
+    from fastdepth_tpu.data import transforms as T
+
+    rgb, _ = _rgb_depth(seed=seed + 100)
+    np.random.seed(seed)
+    ref = ref_transforms.ColorJitter(0.4, 0.4, 0.4)(rgb)
+    ours = T.ColorJitter(0.4, 0.4, 0.4)(rgb, np.random.RandomState(seed))
+    np.testing.assert_array_equal(ours, ref)
+
+
+@pytest.mark.parametrize("factor", [0.6, 0.63, 1.0, 1.37, 1.4])
+def test_adjust_enhance_matches_reference(ref_transforms, factor):
+    """Our LUT/native fast forms vs the reference's own PIL-backed
+    ``adjust_brightness/contrast/saturation`` (transforms.py:34-94)."""
+    from PIL import Image
+
+    from fastdepth_tpu.data import transforms as T
+
+    rgb, _ = _rgb_depth(seed=21)
+    pil = Image.fromarray(rgb)
+    np.testing.assert_array_equal(
+        T.adjust_brightness_fast(rgb, factor),
+        np.array(ref_transforms.adjust_brightness(pil, factor)))
+    np.testing.assert_array_equal(
+        T.adjust_contrast_fast(rgb, factor),
+        np.array(ref_transforms.adjust_contrast(pil, factor)))
+    np.testing.assert_array_equal(
+        T.adjust_saturation_fast(rgb, factor),
+        np.array(ref_transforms.adjust_saturation(pil, factor)))
+
+
+def test_adjust_hue_matches_reference(ref_transforms):
+    """Positive hue factors vs the reference's own ``adjust_hue``
+    (transforms.py:95-137).  Negative factors are asserted to raise in
+    the REFERENCE under NumPy 2 (``np.uint8(negative)`` overflow) — our
+    ``% 256`` wrap reproduces the pre-NumPy-2 behavior the reference was
+    written against, so only the positive half is differentially
+    checkable."""
+    from PIL import Image
+
+    from fastdepth_tpu.data import transforms as T
+
+    rgb, _ = _rgb_depth(seed=22)
+    pil = Image.fromarray(rgb)
+    for factor in (0.02, 0.2, 0.5):
+        np.testing.assert_array_equal(
+            T.adjust_hue(rgb, factor),
+            np.array(ref_transforms.adjust_hue(pil, factor)))
+    with pytest.raises(OverflowError):
+        ref_transforms.adjust_hue(pil, -0.2)
+
+
+def test_reference_resize_is_dead(ref_transforms):
+    """Pin the scope claim: the reference's ``Resize.__call__``
+    (transforms.py:311-341) raises because scipy.misc.imresize is gone.
+    If a future scipy resurrects it, this fails and the resize chain
+    should be promoted into the differentials above."""
+    rgb, _ = _rgb_depth()
+    with pytest.raises(AttributeError):
+        ref_transforms.Resize(250.0 / 480.0)(rgb)
