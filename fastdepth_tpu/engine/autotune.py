@@ -237,6 +237,19 @@ def tune_model(
     result = {
         "config": dec["config"],
         "device": dec["device"],
+        # encoder half is INFORMATIONAL: XLA is the only encoder
+        # implementation (no Pallas encoder kernel), so nothing at
+        # runtime selects among encoder impls — the records exist to
+        # document measured per-op costs with the breadth of the
+        # reference's AutoTVM logs.  load_tuning / --impl mixed consume
+        # 'records' (the decoder half) only.
+        "encoder_records_note": (
+            "informational: XLA is the only encoder implementation "
+            "(there is no Pallas encoder kernel), so no runtime "
+            "selection reads these; they document measured per-op "
+            "encoder costs for breadth parity with the reference's "
+            "AutoTVM logs. Runtime consumers (load_tuning -> --impl "
+            "mixed) read 'records' only."),
         "encoder_records": enc,
         "records": dec["records"],
     }

@@ -202,13 +202,17 @@ class InferenceServer:
         # read buffer would silently answer request k with frame k+1.
         # copy_inputs=False opts out for in-process perf clients that
         # never mutate a submitted frame.
-        rgb = np.array(rgb, copy=True) if self._copy_inputs else np.asarray(rgb)
+        rgb = np.asarray(rgb)
+        # validate on the view BEFORE the owning copy so rejected frames
+        # don't pay a ~600KB memcpy
         if rgb.dtype != self.input_dtype:
             raise ValueError(
                 f"expected {self.input_dtype} frames "
                 f"(server input_dtype), got {rgb.dtype}")
         if rgb.shape != (h, w, 3):
             raise ValueError(f"expected ({h}, {w}, 3) HWC rgb, got {rgb.shape}")
+        if self._copy_inputs:
+            rgb = np.array(rgb, copy=True)
         if self._stop.is_set():
             raise RuntimeError("server is closed")
         fut: Future = Future()
@@ -346,7 +350,12 @@ class InferenceServer:
             self._q.put_nowait(None)
         except queue.Full:
             pass
-        self._thread.join(timeout=5)
+        # the drainer observes the stop flag within one get timeout after
+        # the non-blocking sentinel put, so this join terminates; a LONG
+        # timeout (not 5s) lets a drainer mid-fetch on a cold compile
+        # (minutes on this platform) finish serving queued requests
+        # instead of having them failed early by the drain below
+        self._thread.join(timeout=600)
         # fail anything that raced in behind the sentinel — its future
         # would otherwise never resolve and hang a waiting client
         while True:

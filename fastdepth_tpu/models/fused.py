@@ -207,8 +207,12 @@ def supports_fused(cfg: ModelConfig) -> bool:
     """True when the fused/mixed Pallas paths (:func:`_fused_preamble`
     family) cover this architecture: MobileNet nnconv5dw with additive
     skips — the kernels bake in the 5×5 dw + 1×1 pw + skip-add stage
-    shape."""
+    shape.  The nnconv-name membership check matters for UNvalidated
+    configs: without it a decoder='deconv5dw' + skip='add' config
+    (rejected by ModelConfig.validate, but constructible around it)
+    would run nearest-upsample nnconv semantics under a wrong label."""
     return (cfg.encoder == "mobilenet" and cfg.skip == "add"
+            and cfg.decoder in _NNCONV_NAMES
             and cfg.decoder_depthwise and cfg.decoder_kernel == 5)
 
 

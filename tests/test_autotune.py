@@ -165,6 +165,9 @@ def test_committed_records_load_and_cover_every_stage():
         # stem + 13 x (dw, pw) ops x 2 dtypes
         assert len(enc) == 27 * 2, f
         assert all(r["xla_ms"] is not None for r in enc), f
+        # the encoder half is data-only: the record must SAY so, since
+        # nothing at runtime consumes it (XLA is the only encoder impl)
+        assert rec["encoder_records_note"].startswith("informational"), f
 
 
 def test_cli_unknown_model_fails_fast(tmp_path):

@@ -452,6 +452,6 @@ def test_deploy_runner_mixed_impl(tiny_ckpt, tmp_path, capsys):
                  "--output-fp", out_mixed, "--warmup", "0", "--run", "1",
                  "--impl", "mixed",
                  "--tuning",
-                 "tuning/v5e.mobilenet-nnconv5dw-skipadd-pruned.json"])
+                 "tuning/tpuv5lite.mobilenet-nnconv5dw-skipadd-pruned.json"])
     np.testing.assert_allclose(
         np.load(out_mixed), np.load(out_ref), atol=1e-4)
