@@ -102,11 +102,9 @@ def load_checkpoint(path: str) -> Tuple[Dict, ModelConfig, Dict[str, Any]]:
         for k, name in custom.items():
             dt = np.dtype(getattr(ml_dtypes, name, name))
             flat[k] = flat[k].view(dt)
-    cfg_dict = meta.pop("config")
-    for key in ("encoder_channels", "decoder_channels", "output_size"):
-        if key in cfg_dict and cfg_dict[key] is not None:
-            cfg_dict[key] = tuple(cfg_dict[key])
-    config = ModelConfig(**cfg_dict)
+    from fastdepth_tpu.config import config_from_dict
+
+    config = config_from_dict(meta.pop("config"))
     return unflatten_tree(flat), config, meta
 
 
@@ -149,10 +147,15 @@ def load_train_checkpoint(path: str) -> Tuple[Dict, ModelConfig, Dict[str, Any]]
 
 
 def jax_to_numpy(tree):
-    """Device arrays -> host numpy, recursively."""
+    """Device arrays -> host numpy, recursively.  Goes through
+    fetch_global so multi-process replicated/sharded state (params and
+    momentum live replicated on a pod mesh) saves from any rank;
+    single-process arrays take the plain np.asarray path inside it."""
+    from fastdepth_tpu.parallel.mesh import fetch_global
+
     if isinstance(tree, dict):
         return {k: jax_to_numpy(v) for k, v in tree.items()}
-    return np.asarray(tree)
+    return fetch_global(tree)
 
 
 def numpy_to_jax(tree, dtype=None):

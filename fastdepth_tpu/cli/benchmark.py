@@ -42,6 +42,11 @@ def parse_args(argv=None):
     p.add_argument("--train", action="store_true",
                    help="benchmark the end-to-end TRAIN pipeline (loader + "
                         "augmentations + Trainer step) instead of eval")
+    p.add_argument("--device-augment", action="store_true",
+                   help="with --train: run the whole augmentation chain on "
+                        "device inside the train jit (host ships raw frames "
+                        "+ per-item gather maps/jitter grids; bit-identical "
+                        "items — tests/test_device_aug.py)")
     p.add_argument("--worker-mode", default="thread",
                    choices=["thread", "process"],
                    help="loader worker model: GIL-sharing threads (h5py/"
@@ -141,10 +146,11 @@ def train_main(args, model, params):
 
     data_root = args.data_root or make_synthetic_tree(args.synthetic, "train")
     dataset = NYUDataset(os.path.join(data_root, args.data, "train"),
-                         split="train")
+                         split="train", device_augment=args.device_augment)
     trainer = Trainer(
         model, params, TrainConfig(lr=0.01, batch_size=args.batch_size),
         compute_dtype=jnp.bfloat16 if args.bf16 else None,
+        device_augment=args.device_augment,
     )
 
     def one_pass(epoch):
@@ -169,6 +175,7 @@ def train_main(args, model, params):
         "dtype": "bf16" if args.bf16 else "fp32",
         "workers": args.workers,
         "worker_mode": args.worker_mode,
+        "device_augment": args.device_augment,
         "elapsed_s": round(elapsed, 3),
         "fps": round(frames / elapsed, 1),
         "final_loss": round(float(loss), 4),

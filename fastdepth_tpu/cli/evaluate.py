@@ -22,7 +22,10 @@ import jax.numpy as jnp
 
 
 def parse_args(argv=None):
+    from fastdepth_tpu.parallel.distributed import add_distributed_args
+
     p = argparse.ArgumentParser(description="FastDepth-TPU evaluation")
+    add_distributed_args(p)
     # reference flags (utils.py:12-34)
     p.add_argument("--data", metavar="DATA", default="nyudepthv2",
                    choices=["nyudepthv2"], help="dataset name")
@@ -81,6 +84,26 @@ def load_params_and_model(path: str):
 
 def main(argv=None):
     args = parse_args(argv)
+    # multi-process wiring FIRST (before any device enumeration binds
+    # the backend); every rank then runs this same function — the
+    # primary owns prints/CSV/PNGs, all ranks share the collectives
+    from fastdepth_tpu.parallel.distributed import (
+        init_distributed,
+        is_primary,
+        shard_kwargs,
+    )
+
+    distributed = init_distributed(args)
+    if distributed and not args.mesh_devices:
+        raise SystemExit(
+            "multi-process mode needs --mesh-devices (the GLOBAL device "
+            "count across all processes)")
+    primary = is_primary()
+    log = print if primary else (lambda *a, **k: None)
+    if args.batch_size % jax.process_count():
+        raise SystemExit(
+            f"--batch-size {args.batch_size} must divide by the process "
+            f"count {jax.process_count()}")
     # mesh args are validated (SystemExit) before any device/data work:
     # a non-divisor would otherwise surface as a low-level sharding
     # error on batch 1.  The sharded height is what reaches device_put:
@@ -100,23 +123,23 @@ def main(argv=None):
     from fastdepth_tpu.engine.benchmark import setup_compile_cache
 
     setup_compile_cache()
-    print(f"=> loading model '{args.evaluate}'")
+    log(f"=> loading model '{args.evaluate}'")
     params, model, meta = load_params_and_model(args.evaluate)
-    print(f"=> loaded model (epoch {meta.get('epoch', 0)})")
+    log(f"=> loaded model (epoch {meta.get('epoch', 0)})")
 
     from fastdepth_tpu.data import BatchLoader, NYUDataset
     from fastdepth_tpu.engine import Evaluator, validate
 
-    print("=> creating data loaders...")
+    log("=> creating data loaders...")
     valdir = os.path.join(args.data_root, args.data, "val")
     dataset = NYUDataset(valdir, split=args.split, modality=args.modality,
                          device_normalize=args.device_normalize,
                          raw_items=args.device_preprocess)
     loader = BatchLoader(
         dataset, batch_size=args.batch_size, num_workers=args.workers,
-        pad_last=True,
+        pad_last=True, **shard_kwargs(),
     )
-    print("=> data loaders created.")
+    log("=> data loaders created.")
 
     evaluator = Evaluator(
         model, params,
@@ -129,15 +152,18 @@ def main(argv=None):
         val_pipeline=dataset.val_pipeline if args.device_preprocess else None,
     )
     output_dir = os.path.dirname(os.path.abspath(args.evaluate))
+    # comparison strips stay off in multi-process mode: each host holds
+    # only its rgb shard, so global-index strip rows aren't addressable
     result = validate(
         loader, evaluator,
         epoch=meta.get("epoch", 0),
         print_freq=args.print_freq,
-        output_dir=output_dir,
-        make_images=not args.no_images,
+        output_dir=output_dir if primary else None,
+        make_images=not args.no_images and not distributed,
         viz_transform=dataset.val_pipeline if args.device_preprocess else None,
-        write_to_file=args.csv is not None,
+        write_to_file=args.csv is not None and primary,
         csv_path=args.csv,
+        log=log,
     )
     return result
 

@@ -20,10 +20,17 @@ import numpy as np
 
 
 def parse_args(argv=None):
+    from fastdepth_tpu.parallel.distributed import add_distributed_args
+
     p = argparse.ArgumentParser(description="FastDepth-TPU training")
     p.add_argument("--data", default="nyudepthv2", choices=["nyudepthv2"])
     p.add_argument("--data-root", default=os.path.join("..", "data"))
     p.add_argument("--arch", default="mobilenet-nnconv5dw-skipadd")
+    p.add_argument("--arch-json", default=None, metavar="JSON",
+                   help="train an explicit ModelConfig loaded from a JSON "
+                        "file (per-layer channel lists — how pruned nets "
+                        "are specified) instead of a registry --arch name")
+    add_distributed_args(p)
     p.add_argument("--pretrained-encoder", default=None,
                    help="ImageNet MobileNet ckpt (torch .pth.tar or .npz)")
     p.add_argument("--epochs", type=int, default=20)
@@ -45,6 +52,13 @@ def parse_args(argv=None):
                         "the MXU, fp32 master weights/momentum/BN stats "
                         "(no loss scaling needed — bf16 keeps fp32's "
                         "exponent range)")
+    p.add_argument("--device-augment", action="store_true",
+                   help="run the whole train augmentation chain (composed "
+                        "gather, rotation pad, depth/=s, color jitter, /255) "
+                        "ON DEVICE inside the jitted train step; the host "
+                        "computes only per-item index vectors and jitter "
+                        "factors (microseconds) — bit-identical items to "
+                        "the host pipeline (tests/test_device_aug.py)")
     p.add_argument("--accum-steps", type=int, default=1,
                    help="gradient accumulation: split each batch into this "
                         "many sequential microbatches (lax.scan) and apply "
@@ -81,12 +95,22 @@ def load_pretrained_encoder(path: str):
 def main(argv=None):
     args = parse_args(argv)
 
+    # multi-process wiring FIRST: jax.distributed.initialize must run
+    # before the backend binds (device enumeration)
+    from fastdepth_tpu.parallel.distributed import init_distributed, is_primary
+
+    distributed = init_distributed(args)
+
     import jax
     import jax.numpy as jnp
 
     from fastdepth_tpu.engine.benchmark import setup_compile_cache
 
     setup_compile_cache()
+    primary = is_primary()
+    # one rank owns the side effects (prints, CSVs, checkpoints); every
+    # rank runs the same compute + collectives
+    log = print if primary else (lambda *a, **k: None)
 
     from fastdepth_tpu.checkpoint.io import (
         load_train_checkpoint,
@@ -103,6 +127,18 @@ def main(argv=None):
     from fastdepth_tpu.train import Trainer
 
     # mesh args validated (SystemExit) before checkpoint/data work
+    if distributed and not args.mesh_devices:
+        raise SystemExit(
+            "multi-process mode needs --mesh-devices (the GLOBAL device "
+            "count across all processes): the mesh is what ties the "
+            "per-process batch shards into one SPMD step")
+    n_proc = jax.process_count()
+    if args.batch_size % n_proc or args.eval_batch_size % n_proc:
+        raise SystemExit(
+            f"--batch-size {args.batch_size} / --eval-batch-size "
+            f"{args.eval_batch_size} must divide by the process count "
+            f"{n_proc}: every process feeds an equal shard of each "
+            "global batch")
     mesh = mesh_from_cli(args.mesh_devices, None, batch_size=args.batch_size)
     if mesh is not None and args.eval_batch_size % args.mesh_devices:
         raise SystemExit(
@@ -135,7 +171,7 @@ def main(argv=None):
                 "--resume and --pretrained-encoder conflict: resume restores "
                 "the full checkpointed state, so the encoder load would be "
                 "discarded. Drop one of the two flags.")
-        print(f"=> resuming from '{args.resume}'")
+        log(f"=> resuming from '{args.resume}'")
         resume_tree, ckpt_cfg, resume_meta = load_train_checkpoint(args.resume)
         model = build(ckpt_cfg)
         # numpy tree is fine here: Trainer.restore() below replaces the
@@ -143,30 +179,46 @@ def main(argv=None):
         # converting/placing params twice would be wasted transfers
         params = resume_tree["params"]
     else:
-        model = from_name(args.arch)
+        if args.arch_json:
+            from fastdepth_tpu.config import config_from_json
+
+            model = build(config_from_json(args.arch_json))
+        else:
+            model = from_name(args.arch)
+        # seeded init: every process derives identical params (the
+        # jax.distributed single-program replication convention)
         params = model.init(jax.random.PRNGKey(args.seed))
         if args.pretrained_encoder:
-            print(f"=> loading pretrained encoder '{args.pretrained_encoder}'")
+            log(f"=> loading pretrained encoder '{args.pretrained_encoder}'")
             params = dict(params, encoder=numpy_to_jax(
                 load_pretrained_encoder(args.pretrained_encoder)))
 
-    print("=> creating data loaders...")
+    log("=> creating data loaders...")
+    from fastdepth_tpu.parallel.distributed import shard_kwargs
+
     root = os.path.join(args.data_root, args.data)
-    train_ds = NYUDataset(os.path.join(root, "train"), split="train", seed=args.seed)
+    train_ds = NYUDataset(os.path.join(root, "train"), split="train",
+                          seed=args.seed, device_augment=args.device_augment)
     val_ds = NYUDataset(os.path.join(root, "val"), split="val")
+    # each process loads only its contiguous rows of every global batch
+    # (identity single-process); same seed -> same shuffles everywhere
     train_loader = BatchLoader(
         train_ds, batch_size=args.batch_size, shuffle=True,
-        num_workers=args.workers, drop_last=True, pad_last=False, seed=args.seed,
+        num_workers=args.workers, drop_last=True, pad_last=False,
+        seed=args.seed, **shard_kwargs(),
     )
     val_loader = BatchLoader(val_ds, batch_size=args.eval_batch_size,
-                             num_workers=args.workers, pad_last=True)
-    print(f"=> {len(train_ds)} train / {len(val_ds)} val images")
+                             num_workers=args.workers, pad_last=True,
+                             **shard_kwargs())
+    log(f"=> {len(train_ds)} train / {len(val_ds)} val images")
 
     trainer = Trainer(model, params, tc, mesh=mesh, remat=args.remat,
                       compute_dtype=jnp.bfloat16 if args.bf16 else None,
-                      accum_steps=args.accum_steps)
+                      accum_steps=args.accum_steps,
+                      device_augment=args.device_augment)
 
-    os.makedirs(args.output_dir, exist_ok=True)
+    if primary:
+        os.makedirs(args.output_dir, exist_ok=True)
     train_csv = os.path.join(args.output_dir, "train.csv")
     test_csv = os.path.join(args.output_dir, "test.csv")
     best = Result().set_to_worst()
@@ -178,49 +230,61 @@ def main(argv=None):
         for k, v in resume_meta.get("best_result", {}).items():
             setattr(best, k, v)
         best_epoch = resume_meta.get("extra", {}).get("best_epoch", -1)
-        print(f"=> resumed at epoch {start_epoch} "
-              f"(best RMSE={best.rmse:.3f} @ epoch {best_epoch})")
+        log(f"=> resumed at epoch {start_epoch} "
+            f"(best RMSE={best.rmse:.3f} @ epoch {best_epoch})")
 
     for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
         train_loader.set_epoch(epoch)  # resume-deterministic shuffles
-        loss = trainer.run_epoch(train_loader, epoch, print_freq=args.print_freq)
-        print(f"=> epoch {epoch}: train loss {loss:.4f} ({time.time() - t0:.1f}s)")
-        with open(train_csv, "a", newline="") as f:
-            w = csv.writer(f)
-            if f.tell() == 0:
-                w.writerow(["epoch", "loss"])
-            w.writerow([epoch, loss])
+        loss = trainer.run_epoch(train_loader, epoch,
+                                 print_freq=args.print_freq, log=log)
+        log(f"=> epoch {epoch}: train loss {loss:.4f} ({time.time() - t0:.1f}s)")
+        if primary:
+            with open(train_csv, "a", newline="") as f:
+                w = csv.writer(f)
+                if f.tell() == 0:
+                    w.writerow(["epoch", "loss"])
+                w.writerow([epoch, loss])
 
         evaluator = Evaluator(model, trainer.state.params,
                               batch_size=args.eval_batch_size, mesh=mesh)
+        # every rank runs validate (the metric fetch is a collective);
+        # the primary writes CSV/PNGs.  Comparison strips stay off in
+        # multi-process mode: each host holds only its rgb shard, so the
+        # global-index strip rows aren't addressable from one rank.
         result = validate(
             val_loader, evaluator, epoch=epoch, print_freq=args.print_freq,
-            output_dir=args.output_dir, write_to_file=True, csv_path=test_csv,
+            output_dir=args.output_dir if primary else None,
+            write_to_file=primary, csv_path=test_csv,
+            make_images=not distributed, log=log,
         )
-        # best-epoch tracking by RMSE (reference main.py:20-24 semantics)
+        # best-epoch tracking by RMSE (reference main.py:20-24 semantics);
+        # `result` is the all-gathered global average — identical on
+        # every rank, so best tracking stays in lockstep
         if result.rmse < best.rmse:
             best = result
             best_epoch = epoch
-            save_checkpoint(
-                os.path.join(args.output_dir, "model_best.npz"),
-                trainer.state.params, model.config, epoch=epoch,
-                best_result={"rmse": best.rmse, "delta1": best.delta1,
-                             "mae": best.mae, "absrel": best.absrel},
-            )
-            print(f"=> new best (epoch {epoch}): RMSE={best.rmse:.3f}")
+            if primary:
+                save_checkpoint(
+                    os.path.join(args.output_dir, "model_best.npz"),
+                    trainer.state.params, model.config, epoch=epoch,
+                    best_result={"rmse": best.rmse, "delta1": best.delta1,
+                                 "mae": best.mae, "absrel": best.absrel},
+                )
+            log(f"=> new best (epoch {epoch}): RMSE={best.rmse:.3f}")
         # the resume file: full training state (momentum + step), plus
         # the best-so-far record so resume keeps best tracking intact
-        save_train_checkpoint(
-            os.path.join(args.output_dir, "checkpoint.npz"),
-            trainer.state, model.config, epoch=epoch,
-            best_result={"rmse": best.rmse, "delta1": best.delta1,
-                         "mae": best.mae, "absrel": best.absrel}
-            if best_epoch >= 0 else {},
-            extra={"best_epoch": best_epoch},
-        )
-    print(f"=> done; best epoch {best_epoch}: RMSE={best.rmse:.3f} "
-          f"Delta1={best.delta1:.3f}")
+        if primary:
+            save_train_checkpoint(
+                os.path.join(args.output_dir, "checkpoint.npz"),
+                trainer.state, model.config, epoch=epoch,
+                best_result={"rmse": best.rmse, "delta1": best.delta1,
+                             "mae": best.mae, "absrel": best.absrel}
+                if best_epoch >= 0 else {},
+                extra={"best_epoch": best_epoch},
+            )
+    log(f"=> done; best epoch {best_epoch}: RMSE={best.rmse:.3f} "
+        f"Delta1={best.delta1:.3f}")
     return best
 
 

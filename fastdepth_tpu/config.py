@@ -148,6 +148,29 @@ class ModelConfig:
         return self
 
 
+def config_from_dict(d: dict) -> "ModelConfig":
+    """ModelConfig from a plain dict (checkpoint meta, ``--arch-json``
+    files): list-valued fields become the tuples the frozen dataclass
+    expects.  Unknown keys raise via the constructor — a typo'd field
+    must not silently vanish."""
+    d = dict(d)
+    for key in ("encoder_channels", "decoder_channels", "output_size"):
+        if key in d and d[key] is not None:
+            d[key] = tuple(d[key])
+    return ModelConfig(**d)
+
+
+def config_from_json(path: str) -> "ModelConfig":
+    """Validated ModelConfig from a JSON file — the CLI surface for
+    explicit per-layer channel lists (how pruned architectures are
+    specified; SURVEY.md §2 'per-layer channel lists, not a width
+    multiplier')."""
+    import json
+
+    with open(path) as f:
+        return config_from_dict(json.load(f)).validate()
+
+
 # Canonical zoo configs.
 FASTDEPTH_UNPRUNED = ModelConfig().validate()
 FASTDEPTH_PRUNED = ModelConfig(

@@ -56,6 +56,8 @@ class BatchLoader:
         seed: int = 0,
         device_put=None,
         worker_mode: str = "thread",
+        num_shards: int = 1,
+        shard_id: int = 0,
     ):
         """``worker_mode='process'`` runs item production in
         ``num_workers`` SPAWNED worker processes instead of threads — the
@@ -73,6 +75,33 @@ class BatchLoader:
         if worker_mode not in ("thread", "process"):
             raise ValueError(
                 f"worker_mode must be 'thread' or 'process', got {worker_mode!r}")
+        # Multi-process SPMD sharding (num_shards = jax.process_count()):
+        # ``batch_size`` stays the GLOBAL batch; every process draws the
+        # SAME epoch order (same seed/set_epoch -> identical shuffles),
+        # forms the same global batches, and loads only its contiguous
+        # rows [shard_id*k, (shard_id+1)*k), k = batch_size/num_shards —
+        # contiguous (not strided) because jax.make_array_from_process_
+        # local_data lays process p's rows at global positions p*k..,
+        # so the assembled global batch is exactly the single-process
+        # one, padding rows last (parallel/mesh.py::put_sharded).
+        if num_shards < 1 or not 0 <= shard_id < num_shards:
+            raise ValueError(
+                f"shard_id {shard_id} out of range for num_shards {num_shards}")
+        if batch_size % num_shards:
+            raise ValueError(
+                f"batch_size {batch_size} must divide by num_shards "
+                f"{num_shards}: every process feeds an equal slice of "
+                "each global batch")
+        if num_shards > 1 and not (pad_last or drop_last):
+            raise ValueError(
+                "num_shards > 1 needs pad_last=True (eval) or "
+                "drop_last=True (train): a ragged final batch would give "
+                "processes unequal shard shapes and wedge the global-"
+                "array assembly")
+        self.num_shards = num_shards
+        self.shard_id = shard_id
+        self._local_batch = batch_size // num_shards
+        self._item_shapes = None  # lazy probe for all-padding local slices
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -118,16 +147,41 @@ class BatchLoader:
             self.dataset.__getitem__,
         )
 
-    def _load_batch(self, pool, getter, indices: Sequence[int]) -> Tuple[np.ndarray, np.ndarray, int]:
-        items = list(pool.map(getter, indices))
-        rgb = np.stack([it[0] for it in items])
-        depth = np.stack([it[1] for it in items])
+    def _probe_shapes(self):
+        """Per-component item shapes+dtypes, for local slices that fall
+        entirely in the padded tail of a short global batch (possible
+        only for the LAST shard under pad_last) — there is no item to
+        stack, so the zeros need a shape from somewhere."""
+        if self._item_shapes is None:
+            item = self.dataset[0]
+            self._item_shapes = tuple(
+                (np.shape(a), np.asarray(a).dtype) for a in item)
+        return self._item_shapes
+
+    def _load_batch(
+        self, pool, getter, indices: Sequence[int], global_count: int
+    ) -> Tuple:
+        """Load THIS shard's rows of one global batch, padded to the
+        local slice size; ``global_count`` (the unpadded global batch
+        length) rides along for the consumer's metric masking.  Items
+        are arbitrary array tuples — classically (rgb, depth), plus the
+        augmentation-parameter components in device-augment mode — each
+        component stacked along a new batch axis."""
+        if len(indices):
+            items = list(pool.map(getter, indices))
+            arrays = [np.stack([it[j] for it in items])
+                      for j in range(len(items[0]))]
+        else:
+            arrays = [np.zeros((0,) + tuple(shape), dtype)
+                      for shape, dtype in self._probe_shapes()]
         count = len(indices)
-        if self.pad_last and count < self.batch_size:
-            pad = self.batch_size - count
-            rgb = np.concatenate([rgb, np.zeros((pad,) + rgb.shape[1:], rgb.dtype)])
-            depth = np.concatenate([depth, np.zeros((pad,) + depth.shape[1:], depth.dtype)])
-        return rgb, depth, count
+        if self.pad_last and count < self._local_batch:
+            pad = self._local_batch - count
+            arrays = [
+                np.concatenate([a, np.zeros((pad,) + a.shape[1:], a.dtype)])
+                for a in arrays
+            ]
+        return tuple(arrays) + (global_count,)
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray, int]]:
         # draw the epoch's order EAGERLY (here, not at the generator's
@@ -146,7 +200,11 @@ class BatchLoader:
         ]
         if self.drop_last and batches and len(batches[-1]) < self.batch_size:
             batches.pop()
-        return self._iterate(batches)
+        # shard each GLOBAL batch to this process's contiguous row range
+        # (identity when num_shards == 1); the global count rides along
+        k = self._local_batch
+        lo, hi = self.shard_id * k, (self.shard_id + 1) * k
+        return self._iterate([(idxs[lo:hi], len(idxs)) for idxs in batches])
 
     def _iterate(self, batches) -> Iterator[Tuple[np.ndarray, np.ndarray, int]]:
         # the pool is LOCAL to this iterator: two live iterators over one
@@ -172,16 +230,14 @@ class BatchLoader:
 
         def producer():
             try:
-                for idxs in batches:
+                for idxs, global_count in batches:
                     if stop.is_set():
                         return
-                    batch = self._load_batch(pool, getter, idxs)
+                    batch = self._load_batch(pool, getter, idxs, global_count)
                     if self.device_put is not None:
-                        batch = (
-                            self.device_put(batch[0]),
-                            self.device_put(batch[1]),
-                            batch[2],
-                        )
+                        batch = tuple(
+                            self.device_put(a) for a in batch[:-1]
+                        ) + (batch[-1],)
                     if not put_or_stop(batch):
                         return
             except BaseException as e:  # propagate to the consumer — a

@@ -54,6 +54,7 @@ class NYUDataset:
         seed: int = 0,
         device_normalize: bool = False,
         raw_items: bool = False,
+        device_augment: bool = False,
     ):
         # device_normalize: emit uint8 RGB and let the device do the /255
         # (exactly the same math in f32) — quarters host->device transfer
@@ -62,10 +63,20 @@ class NYUDataset:
         # host geometry at all — the whole val resize/crop chain is a
         # fixed gather, so it runs on device inside the eval jit
         # (Evaluator(val_pipeline=...)); host work drops to the h5 read.
+        # device_augment: emit RAW frames plus the per-item augmentation
+        # PARAMETERS (composed gather map, depth scale, jitter plan) and
+        # let the jitted train step run every pixel op on device
+        # (data/device_aug.py) — host work drops to the h5 read + index
+        # math.  Item = (rgb_raw u8 HWC, depth_raw f32 HW, flat i32,
+        # scale f32, tables u8[3,256,256], kinds i32[3]).
+        if device_augment and split != "train":
+            raise ValueError(
+                "device_augment targets train; eval's equivalent is "
+                "raw_items + Evaluator(val_pipeline=...)")
         if raw_items and split == "train":
             raise ValueError(
-                "raw_items targets eval; the train pipeline's rotation is "
-                "host-side by design (applied at the 250x333 intermediate)")
+                "raw_items targets eval; use device_augment for the "
+                "train chain (raw frames + on-device augmentation)")
         if device_normalize and split == "train":
             raise ValueError(
                 "device_normalize targets eval; train items are emitted "
@@ -90,6 +101,7 @@ class NYUDataset:
         self._epoch = 0
         self.device_normalize = device_normalize
         self.raw_items = raw_items
+        self.device_augment = device_augment
 
     def set_epoch(self, epoch: int) -> None:
         """Vary the per-item augmentation streams across epochs (called
@@ -147,7 +159,41 @@ class NYUDataset:
     def get_raw(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
         return self.loader(self.imgs[index])
 
+    def device_augment_item(self, index: int):
+        """(rgb_raw, depth_raw, flat, scale, tables, kinds) for the
+        on-device train pipeline (data/device_aug.py).  Draw order
+        matches __getitem__'s host path exactly — TrainSample first,
+        then the jitter plan from the SAME per-item stream — so host and
+        device paths produce bit-identical augmented items for any
+        (seed, epoch, index).  Each jitter op ships as a host-baked
+        (256, 256) PIL-blend value grid; the device computes only
+        integer row indices (no float enhance arithmetic on device —
+        FMA contraction there flips truncations)."""
+        rgb, depth = self.get_raw(index)
+        rng = self._item_rng(index)
+        sample = TrainSample.draw(rng)
+        plan = self.color_jitter.draw_plan(rng)
+        if any(kind == T.ColorJitter.HUE for kind, _ in plan):
+            raise ValueError(
+                "device_augment has no hue kernel (NYU jitter is "
+                "(0.4, 0.4, 0.4) with hue=0, reference dataloader.py:46); "
+                "keep hue-jitter datasets on the host pipeline")
+        flat, mask = self.train_pipeline.composed_indices(sample)
+        # fold the rotation pad into the map (-1), int32: raw planes are
+        # 480*640 = 307200 << 2^31
+        flat32 = np.where(mask, -1, flat).ravel().astype(np.int32)
+        kinds = np.zeros(3, np.int32)
+        tables = np.empty((3, 256, 256), np.uint8)
+        tables[:] = T.identity_grid()
+        for j, (kind, f) in enumerate(plan):
+            kinds[j] = kind
+            tables[j] = T.blend_grid(f)
+        return (rgb, np.asarray(depth, np.float32), flat32,
+                np.float32(sample.scale), tables, kinds)
+
     def __getitem__(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
+        if self.device_augment:
+            return self.device_augment_item(index)
         rgb, depth = self.get_raw(index)
         if self.raw_items:
             return rgb, depth.astype(np.float32)[..., None]

@@ -552,6 +552,35 @@ def _blend_lut(degenerate_rgb: Tuple[int, int, int], factor: float) -> np.ndarra
     return np.array(Image.blend(degenerate, strip, factor))[0, :, 0]
 
 
+def blend_grid(factor: float) -> np.ndarray:
+    """(256, 256) uint8 value map of PIL's blend: ``grid[d, v] =
+    Image.blend(degenerate=d, value=v, factor)`` — stepwise float32
+    ``d + factor * (v - d)`` with C-cast truncation and clipping
+    (Pillow Blend.c; proven bit-equal to PIL/ImageEnhance across factor
+    sweeps in tests/test_device_aug.py).
+
+    One grid encodes a whole enhance op for the DEVICE jitter path
+    (data/device_aug.py): saturation reads row = the pixel's own 'L'
+    gray, contrast reads row = the image's mean-L gray, brightness
+    reads row 0 (its degenerate is black).  numpy evaluates each f32
+    step correctly rounded with no fused multiply-add — unlike an XLA
+    float chain, where FMA contraction was measured flipping the
+    truncation on ~0.3%% of pixels — so table-lookup on device is exact
+    by construction on every backend."""
+    d = np.arange(256, dtype=np.float32)[:, None]
+    v = np.arange(256, dtype=np.float32)[None, :]
+    m = (np.float32(factor) * (v - d)).astype(np.float32)
+    t = (d + m).astype(np.float32)
+    return np.clip(np.trunc(t), 0.0, 255.0).astype(np.uint8)
+
+
+def identity_grid() -> np.ndarray:
+    """(256, 256) pass-through value map (the device jitter's unused
+    slots): out == value for every row."""
+    return np.broadcast_to(
+        np.arange(256, dtype=np.uint8)[None, :], (256, 256)).copy()
+
+
 def adjust_brightness_fast(img: np.ndarray, factor: float) -> np.ndarray:
     """== :func:`adjust_brightness` (ImageEnhance.Brightness degenerate is
     black), applied as one LUT take instead of a PIL round trip (C kernel
@@ -606,21 +635,41 @@ class ColorJitter:
         self.saturation = saturation
         self.hue = hue
 
-    def __call__(self, img: np.ndarray, rng: np.random.RandomState) -> np.ndarray:
+    # op-kind codes shared with the device-side jitter
+    # (data/device_aug.py KIND_*); hue has no device kernel (NYU uses
+    # hue=0) and is rejected by the device path at dataset setup
+    BRIGHTNESS, CONTRAST, SATURATION, HUE = 1, 2, 3, 4
+
+    def draw_plan(self, rng: np.random.RandomState):
+        """Draw the item's (kind, factor) op sequence WITHOUT applying —
+        the factor draws (ordered b/c/s/h, only for >0 settings) and the
+        order shuffle consume exactly the same rng state as application,
+        so host apply and device apply see identical plans (reference
+        transforms.py:513-578 protocol: np.random.uniform per enabled op
+        then np.random.shuffle)."""
         ops = []
         if self.brightness > 0:
-            f = rng.uniform(max(0, 1 - self.brightness), 1 + self.brightness)
-            ops.append(lambda im, f=f: adjust_brightness_fast(im, f))
+            ops.append((self.BRIGHTNESS, float(rng.uniform(
+                max(0, 1 - self.brightness), 1 + self.brightness))))
         if self.contrast > 0:
-            f = rng.uniform(max(0, 1 - self.contrast), 1 + self.contrast)
-            ops.append(lambda im, f=f: adjust_contrast_fast(im, f))
+            ops.append((self.CONTRAST, float(rng.uniform(
+                max(0, 1 - self.contrast), 1 + self.contrast))))
         if self.saturation > 0:
-            f = rng.uniform(max(0, 1 - self.saturation), 1 + self.saturation)
-            ops.append(lambda im, f=f: adjust_saturation_fast(im, f))
+            ops.append((self.SATURATION, float(rng.uniform(
+                max(0, 1 - self.saturation), 1 + self.saturation))))
         if self.hue > 0:
-            f = rng.uniform(-self.hue, self.hue)
-            ops.append(lambda im, f=f: adjust_hue(im, f))
+            ops.append((self.HUE, float(rng.uniform(-self.hue, self.hue))))
         rng.shuffle(ops)
-        for op in ops:
-            img = op(img)
+        return ops
+
+    _APPLY = {
+        BRIGHTNESS: adjust_brightness_fast,
+        CONTRAST: adjust_contrast_fast,
+        SATURATION: adjust_saturation_fast,
+        HUE: adjust_hue,
+    }
+
+    def __call__(self, img: np.ndarray, rng: np.random.RandomState) -> np.ndarray:
+        for kind, f in self.draw_plan(rng):
+            img = self._APPLY[kind](img, f)
         return img

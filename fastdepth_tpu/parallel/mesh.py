@@ -162,9 +162,12 @@ def put_replicated(tree, mesh: Mesh):
     the jax.distributed single-program convention)."""
     if jax.process_count() > 1:
         sharding = replicate(mesh)
+        # fetch_global, not np.asarray: a leaf may ALREADY be a global
+        # array (e.g. re-replicating a trained param tree for an
+        # Evaluator), and np.asarray raises on non-addressable shards
         return jax.tree.map(
             lambda a: jax.make_array_from_process_local_data(
-                sharding, np.asarray(a)),
+                sharding, fetch_global(a)),
             tree,
         )
     return jax.device_put(tree, replicate(mesh))

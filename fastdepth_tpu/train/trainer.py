@@ -104,8 +104,13 @@ def make_train_step(
     compute_dtype=None,
     accum_steps: int = 1,
     mesh=None,
+    device_augment: bool = False,
 ):
-    """Returns step(state, rgb, depth, lr) -> (state, loss).
+    """Returns step(state, rgb, depth, lr) -> (state, loss); with
+    ``device_augment`` the signature becomes step(state, rgb_raw,
+    depth_raw, flat, scale, tables, kinds, lr) and the whole train-item
+    pixel pipeline (gather/pad/depth-scale/jitter//255 —
+    data/device_aug.py) runs first, inside this same jit.
 
     ``remat``: rematerialize the forward during backprop
     (``jax.checkpoint``) — trades FLOPs for activation memory, the lever
@@ -287,7 +292,20 @@ def make_train_step(
         params = L.merge_stats(params, stats)
         return TrainState(params=params, momentum=momentum, step=state.step + 1), loss
 
-    return step
+    if not device_augment:
+        return step
+
+    from fastdepth_tpu.data.device_aug import apply_train_augment
+
+    out_size = tuple(model.config.output_size)
+
+    def aug_step(state, rgb_raw, depth_raw, flat, scale, tables, kinds, lr):
+        rgb, depth = apply_train_augment(
+            rgb_raw, depth_raw, flat, scale, tables, kinds,
+            out_size=out_size)
+        return step(state, rgb, depth, lr)
+
+    return aug_step
 
 
 def train_step(model: Model, cfg: TrainConfig):
@@ -317,14 +335,19 @@ class Trainer:
         remat: bool = False,
         compute_dtype=None,
         accum_steps: int = 1,
+        device_augment: bool = False,
     ):
         self.model = model
         self.cfg = cfg
         self.mesh = mesh
+        self.device_augment = device_augment
         self.state = sgd_init(params)
         step = make_train_step(model, cfg, loss_fn, remat=remat,
                                compute_dtype=compute_dtype,
-                               accum_steps=accum_steps, mesh=mesh)
+                               accum_steps=accum_steps, mesh=mesh,
+                               device_augment=device_augment)
+        # data-arg count: (rgb, depth) or the 6 device-augment arrays
+        n_data = 6 if device_augment else 2
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -345,11 +368,19 @@ class Trainer:
                     "inference/eval (Evaluator, serving).")
             repl = NamedSharding(mesh, P())
             data = shard_activations(mesh)
+            if device_augment:
+                # batch-only spec: the device-augment extras include
+                # rank-1 (B,) arrays that the rank-2+ activation spec
+                # would over-rank; the train mesh is 1-D 'data' anyway
+                # (space is rejected above), so the placements coincide
+                from fastdepth_tpu.parallel.mesh import DATA_AXIS
+
+                data = NamedSharding(mesh, P(DATA_AXIS))
             state_sh = jax.tree.map(lambda _: repl, self.state,
                                     is_leaf=lambda x: isinstance(x, jax.Array))
             self._step = jax.jit(
                 step,
-                in_shardings=(state_sh, data, data, None),
+                in_shardings=(state_sh,) + (data,) * n_data + (None,),
                 out_shardings=(state_sh, repl),
                 donate_argnums=(0,),
             )
@@ -365,9 +396,9 @@ class Trainer:
                 # the in-step sharded-batch guard cannot fire through a
                 # jit tracer (no .sharding on tracers) — check the
                 # concrete batch on the host side of the jit boundary
-                def guarded(state, rgb, depth, lr):
-                    _guard_unsharded(rgb)
-                    return jitted(state, rgb, depth, lr)
+                def guarded(state, *args):
+                    _guard_unsharded(args[0])
+                    return jitted(state, *args)
 
                 self._step = guarded
             else:
@@ -392,28 +423,44 @@ class Trainer:
         self.state = state
 
     def run_epoch(self, loader, epoch: int, log=print, print_freq: int = 50):
+        import jax
+
+        from fastdepth_tpu.parallel.mesh import fetch_global
+
         lr = step_lr(self.cfg, epoch)
         # accumulate the loss ON DEVICE — a float(loss) each step would
         # serialize host and device and bound mesh scaling; the scalar is
         # fetched only at print_freq boundaries and at epoch end
+        # (fetch_global, not float(): on a multi-process mesh the loss
+        # spans non-addressable devices)
         total = None
         n = 0
-        for i, (rgb, depth, count) in enumerate(loader):
-            if count != rgb.shape[0]:
+        # under multi-process SPMD each process feeds its shard of the
+        # global batch: the loader's `count` is GLOBAL, local rows are
+        # count / process_count
+        n_proc = jax.process_count()
+        for i, item in enumerate(loader):
+            *arrays, count = item  # (rgb, depth) or the 6 device-augment arrays
+            if count != arrays[0].shape[0] * n_proc:
                 raise ValueError(
                     f"run_epoch got a padded batch ({count} real rows in a "
-                    f"batch of {rgb.shape[0]}): the zero rows would enter "
-                    f"the BN batch statistics and couple real-row gradients "
-                    f"to padding. Build the train loader with "
-                    f"drop_last=True, pad_last=False (cli.train does).")
+                    f"global batch of {arrays[0].shape[0] * n_proc}): the "
+                    f"zero rows would enter the BN batch statistics and "
+                    f"couple real-row gradients to padding. Build the "
+                    f"train loader with drop_last=True, pad_last=False "
+                    f"(cli.train does).")
             if self.mesh is not None:
-                from fastdepth_tpu.parallel.mesh import put_sharded
+                from fastdepth_tpu.parallel.mesh import DATA_AXIS, put_sharded
 
-                rgb = put_sharded(rgb, self.mesh)
-                depth = put_sharded(depth, self.mesh)
-            self.state, loss = self._step(self.state, jnp.asarray(rgb), jnp.asarray(depth), lr)
+                # batch-axis placement for every array (the train mesh is
+                # 1-D 'data'; rank-1 extras need the batch-only spec)
+                arrays = [put_sharded(a, self.mesh, axis_name=DATA_AXIS)
+                          for a in arrays]
+            self.state, loss = self._step(
+                self.state, *[jnp.asarray(a) for a in arrays], lr)
             total = loss if total is None else total + loss
             n += 1
             if print_freq and (i + 1) % print_freq == 0:
-                log(f"Epoch {epoch} [{i + 1}/{len(loader)}] loss={float(total) / n:.4f} lr={lr:.4g}")
-        return float(total) / n if n else 0.0
+                log(f"Epoch {epoch} [{i + 1}/{len(loader)}] "
+                    f"loss={float(fetch_global(total)) / n:.4f} lr={lr:.4g}")
+        return float(fetch_global(total)) / n if n else 0.0

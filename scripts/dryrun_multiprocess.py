@@ -1,186 +1,247 @@
-"""Two-process CPU dryrun of the multi-host SPMD path (VERDICT r3 item 3).
+"""Two-process CPU dryrun of the PUBLIC multi-process CLI surface
+(VERDICT r4 item 2; supersedes the r4 private-plumbing dryrun that drove
+``trainer._step`` directly).
 
-Validates that the framework's multi-process runtime shape — per-process
-shards assembled into global arrays (``parallel.mesh.put_sharded`` via
-``jax.make_array_from_process_local_data``), replicated state
-(``put_replicated``), cross-host fetches (``fetch_global``) — executes a
-REAL eval step and train steps over ``jax.distributed`` and produces
-results identical to the same mesh run in one process.
+Every process runs the SAME shipped commands a pod launcher would run:
 
-Modes:
-  (parent)   python scripts/dryrun_multiprocess.py
-      runs the single-process reference (one 8-device CPU mesh), spawns
-      two children (4 local devices each, Gloo collectives), compares,
-      prints PASS/FAIL and exits nonzero on mismatch.
-  (child)    ... --child PID --coord HOST:PORT --out OUT.json
+    python -m fastdepth_tpu.cli.train    --coord HOST:PORT \
+        --num-processes 2 --process-id K --mesh-devices 8 ...
+    python -m fastdepth_tpu.cli.evaluate --coord ... -e model_best.npz ...
 
-The reference has nothing distributed (SURVEY.md §2); this is the
-TPU-native pod story's single-program convention: every process runs
-this same file, feeds its own batch shard, and holds identical
-replicated state.
+exercising the full public path end-to-end: sharded BatchLoader (each
+rank loads its contiguous rows of every global batch) -> epochs ->
+checkpoint save (primary rank) -> validate (collective metric fetch) ->
+CSV artifacts — then compares every artifact against the identical
+single-process run on the same 8-device CPU mesh:
 
-Needs PYTHONPATH=/root/repo:/root/.axon_site (CLAUDE.md).
+* train.csv epoch losses,
+* test.csv per-epoch val metrics (8 reference CSV fields),
+* model_best.npz / checkpoint.npz param checksums + config,
+* a separate ``cli.evaluate`` pass over the trained model_best.npz.
+
+Tolerances are float-association only (Gloo all-reduce may associate
+differently than the single-process XLA reduction; measured ~1e-5
+relative on this config, same as the r4 dryrun).
+
+Run:  PYTHONPATH=/root/repo python scripts/dryrun_multiprocess.py
+Writes docs/multiprocess_dryrun_r5.json when invoked with --report.
 """
 
 import argparse
+import csv
 import json
 import os
 import subprocess
 import sys
 import tempfile
 
-BATCH_GLOBAL = 16
-HW = 64
-STEPS = 2
-TINY_ENC = (4, 6, 8, 10, 12, 14, 16, 16, 16, 16, 16, 16, 20, 24)
-TINY_DEC = (18, 14, 10, 6, 4)
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:  # the parent imports checkpoint.io for checks
+    sys.path.insert(0, REPO)
+PORT = 29877
+EPOCHS = 2
+BATCH = 8
+N_TRAIN, N_VAL = 8, 4
+# tiny widths that satisfy the skip-add tap constraint
+# (dec[1:4] == enc[5], enc[3], enc[1]; config.py:134-147)
+TINY_CFG = {
+    "encoder_channels": [4, 6, 8, 10, 12, 14, 16, 16, 16, 16, 16, 16, 20, 24],
+    "decoder_channels": [18, 14, 10, 6, 4],
+}
+
+METRIC_FIELDS = ["rmse", "mae", "delta1", "absrel", "lg10", "mse",
+                 "delta2", "delta3"]  # test.csv minus the timing columns
 
 
-def _setup_jax(local_devices: int):
-    os.environ["JAX_PLATFORMS"] = "cpu"
-    os.environ["XLA_FLAGS"] = (
-        os.environ.get("XLA_FLAGS", "")
-        + f" --xla_force_host_platform_device_count={local_devices}")
-    import jax
-
-    jax.config.update("jax_platforms", "cpu")
-    return jax
-
-
-def _global_batch():
-    import numpy as np
-
-    rng = np.random.RandomState(0)
-    rgb = rng.rand(BATCH_GLOBAL, HW, HW, 3).astype(np.float32)
-    depth = (rng.rand(BATCH_GLOBAL, HW, HW, 1) * 9 + 0.5).astype(np.float32)
-    return rgb, depth
-
-
-def compute(jax, local_slice):
-    """Eval metric stack + STEPS train steps + post-train param checksum
-    over the current (possibly multi-process) device set.  ``local_slice``
-    selects THIS process's rows of the global batch (the whole batch in
-    single-process mode)."""
-    import numpy as np
-
-    from fastdepth_tpu.config import ModelConfig, TrainConfig
-    from fastdepth_tpu.engine.evaluator import Evaluator
-    from fastdepth_tpu.models import build
-    from fastdepth_tpu.parallel import mesh as mesh_lib
-    from fastdepth_tpu.train import Trainer
-
-    cfg = ModelConfig(encoder_channels=TINY_ENC, decoder_channels=TINY_DEC)
-    model = build(cfg)
-    params = model.init(jax.random.PRNGKey(0))  # identical on every host
-    mesh = mesh_lib.make_mesh(8)  # global devices, both modes
-
-    rgb, depth = _global_batch()
-    rgb_l, depth_l = rgb[local_slice], depth[local_slice]
-
-    ev = Evaluator(model, params, batch_size=BATCH_GLOBAL, mesh=mesh)
-    _, metric_stack = ev(ev.put(rgb_l), ev.put(depth_l))
-    metrics = mesh_lib.fetch_global(metric_stack)
-
-    trainer = Trainer(model, params, TrainConfig(lr=0.01), mesh=mesh)
-    lr = 0.01
-    import jax.numpy as jnp
-
-    losses = []
-    for _ in range(STEPS):
-        rgb_d = mesh_lib.put_sharded(rgb_l, mesh)
-        depth_d = mesh_lib.put_sharded(depth_l, mesh)
-        trainer.state, loss = trainer._step(
-            trainer.state, rgb_d, depth_d, jnp.float32(lr))
-        losses.append(float(mesh_lib.fetch_global(loss)))
-    checksum = float(sum(
-        np.float64(np.abs(mesh_lib.fetch_global(leaf)).sum())
-        for leaf in jax.tree.leaves(trainer.state.params)))
-    return {
-        "metrics": np.asarray(metrics).tolist(),
-        "losses": losses,
-        "param_checksum": checksum,
-        "n_devices": len(jax.devices()),
-        "n_processes": jax.process_count(),
-    }
-
-
-def child(args):
-    jax = _setup_jax(local_devices=4)
-    jax.distributed.initialize(args.coord, num_processes=2,
-                               process_id=args.child)
-    half = BATCH_GLOBAL // 2
-    out = compute(jax, slice(args.child * half, (args.child + 1) * half))
-    if args.child == 0:
-        with open(args.out, "w") as f:
-            json.dump(out, f)
-            f.write("\n")
-    print(f"child {args.child} done", flush=True)
-
-
-def parent():
-    import numpy as np
-
-    # single-process reference: same 8-device mesh, whole batch
-    jax = _setup_jax(local_devices=8)
-    ref = compute(jax, slice(None))
-    assert ref["n_processes"] == 1 and ref["n_devices"] == 8
-
-    port = 29876
-    out = os.path.join(tempfile.mkdtemp(prefix="fd_mp_"), "p0.json")
+def _cpu_env(local_devices: int) -> dict:
+    """Child env: native CPU backend with N virtual devices (the test
+    conftest's config, but via env — these are real subprocesses)."""
     env = dict(os.environ)
-    env.pop("XLA_FLAGS", None)  # children set their own device count
-    procs = [
-        subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__), "--child", str(pid),
-             "--coord", f"localhost:{port}", "--out", out],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
-        for pid in (0, 1)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # skip the axon PJRT register
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={local_devices}"
+    env["PYTHONPATH"] = os.pathsep.join(
+        [REPO] + [p for p in env.get("PYTHONPATH", "").split(os.pathsep) if p])
+    return env
+
+
+def _make_dataset(root: str) -> None:
+    import h5py
+
+    rng = np.random.RandomState(42)
+    for split, n in (("train", N_TRAIN), ("val", N_VAL)):
+        d = os.path.join(root, "nyudepthv2", split, "scene_a")
+        os.makedirs(d)
+        for i in range(n):
+            # raw NYU frame dims (the pipelines are built for 480x640)
+            with h5py.File(os.path.join(d, f"{i:05d}.h5"), "w") as f:
+                f["rgb"] = (rng.rand(3, 480, 640) * 255).astype(np.uint8)
+                f["depth"] = (rng.rand(480, 640) * 9 + 0.5).astype(np.float32)
+
+
+def _train_cmd(data_root, out_dir, cfg_json):
+    return [
+        sys.executable, "-m", "fastdepth_tpu.cli.train",
+        "--data-root", data_root, "--arch-json", cfg_json,
+        "--epochs", str(EPOCHS), "--batch-size", str(BATCH),
+        "--eval-batch-size", str(BATCH), "--workers", "2",
+        "--mesh-devices", "8", "--print-freq", "0", "--seed", "3",
+        "--output-dir", out_dir,
     ]
-    logs = [p.communicate(timeout=900)[0].decode() for p in procs]
+
+
+def _eval_cmd(data_root, ckpt, csv_path):
+    return [
+        sys.executable, "-m", "fastdepth_tpu.cli.evaluate",
+        "--evaluate", ckpt, "--data-root", data_root,
+        "--batch-size", str(BATCH), "--mesh-devices", "8",
+        "--print-freq", "0", "--no-images", "--csv", csv_path,
+    ]
+
+
+def _dist_flags(pid: int, port: int = PORT):
+    # train and eval pairs take distinct ports: the coordinator socket
+    # of the first pair can linger in TIME_WAIT
+    return ["--coord", f"localhost:{port}",
+            "--num-processes", "2", "--process-id", str(pid)]
+
+
+def _run_single(cmd, env, timeout=1200):
+    p = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                       timeout=timeout)
+    if p.returncode != 0:
+        raise RuntimeError(
+            f"single-process command failed ({p.returncode}):\n"
+            f"{' '.join(cmd)}\n{p.stdout}\n{p.stderr}")
+
+
+def _run_pair(cmd_of_pid, env, timeout=1200):
+    procs = [subprocess.Popen(cmd_of_pid(pid), env=env,
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT)
+             for pid in (0, 1)]
+    logs = [p.communicate(timeout=timeout)[0].decode() for p in procs]
     for pid, p in enumerate(procs):
         if p.returncode != 0:
-            print(logs[pid])
-            print(f"FAIL: child {pid} exited {p.returncode}")
-            return 1
-    with open(out) as f:
-        got = json.load(f)
+            raise RuntimeError(
+                f"rank {pid} failed ({p.returncode}):\n{logs[pid]}")
+    return logs
 
-    ok = got["n_processes"] == 2 and got["n_devices"] == 8
-    # eval math is identical per shard -> metric stack matches tightly
-    # (equal_nan: a random-init model predicts negatives, so lg10/iMAE
-    # fields are NaN in BOTH runs at the same positions); train grads
-    # cross Gloo all-reduce (association may differ from the single-
-    # process reduction) -> small float tolerance
-    m_ref = np.asarray(ref["metrics"])
-    m_got = np.asarray(got["metrics"])
-    ok &= m_ref.shape == m_got.shape and bool(
-        np.allclose(m_ref, m_got, rtol=1e-5, atol=1e-6, equal_nan=True))
-    ok &= bool(np.array_equal(np.isnan(m_ref), np.isnan(m_got)))
-    # step-2 loss compounds the reduction-association diff through the
-    # step-1 param update (measured 1.5e-5 relative on this config)
-    ok &= bool(np.allclose(ref["losses"], got["losses"], rtol=1e-4))
-    ok &= abs(ref["param_checksum"] - got["param_checksum"]) <= (
-        1e-4 * max(1.0, abs(ref["param_checksum"])))
-    finite = np.isfinite(m_ref) & np.isfinite(m_got)
+
+def _read_csv(path):
+    with open(path) as f:
+        return list(csv.DictReader(f))
+
+
+def _param_checksum(npz_path: str) -> float:
+    with np.load(npz_path) as d:
+        return float(sum(
+            np.float64(np.abs(np.asarray(d[k], np.float64)).sum())
+            for k in d.files if k != "__meta__"))
+
+
+def _rel_close(a, b, tol):
+    return abs(a - b) <= tol * max(1.0, abs(a), abs(b))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--report", default=None,
+                    help="write the JSON report here (e.g. "
+                         "docs/multiprocess_dryrun_r5.json)")
+    args = ap.parse_args(argv)
+
+    work = tempfile.mkdtemp(prefix="fd_mp_cli_")
+    data_root = os.path.join(work, "data")
+    _make_dataset(data_root)
+    cfg_json = os.path.join(work, "tiny.json")
+    with open(cfg_json, "w") as f:
+        json.dump(TINY_CFG, f)
+
+    sp, mp = os.path.join(work, "sp"), os.path.join(work, "mp")
+
+    print("== single-process reference (8-device CPU mesh) ==", flush=True)
+    env8 = _cpu_env(8)
+    _run_single(_train_cmd(data_root, sp, cfg_json), env8)
+    _run_single(_eval_cmd(data_root, os.path.join(sp, "model_best.npz"),
+                          os.path.join(sp, "eval.csv")), env8)
+
+    print("== 2-process run (4 local CPU devices each, Gloo) ==", flush=True)
+    env4 = _cpu_env(4)
+    _run_pair(lambda pid: _train_cmd(data_root, mp, cfg_json)
+              + _dist_flags(pid), env4)
+    _run_pair(lambda pid: _eval_cmd(data_root,
+                                    os.path.join(mp, "model_best.npz"),
+                                    os.path.join(mp, "eval.csv"))
+              + _dist_flags(pid, PORT + 2), env4)
+
+    checks = {}
+
+    # 1) train.csv: per-epoch mean loss
+    sp_tr, mp_tr = _read_csv(os.path.join(sp, "train.csv")), _read_csv(
+        os.path.join(mp, "train.csv"))
+    checks["train_csv_rows"] = len(sp_tr) == len(mp_tr) == EPOCHS
+    loss_diff = max(abs(float(a["loss"]) - float(b["loss"]))
+                    / max(1e-9, abs(float(a["loss"])))
+                    for a, b in zip(sp_tr, mp_tr))
+    checks["train_loss_max_rel_diff"] = loss_diff
+    checks["train_loss_ok"] = loss_diff < 1e-4
+
+    # 2) test.csv: per-epoch val metrics (8 reference fields)
+    sp_te, mp_te = _read_csv(os.path.join(sp, "test.csv")), _read_csv(
+        os.path.join(mp, "test.csv"))
+    checks["test_csv_rows"] = len(sp_te) == len(mp_te) == EPOCHS
+    m_diff = max(
+        abs(float(a[f]) - float(b[f])) / max(1e-9, abs(float(a[f])))
+        for a, b in zip(sp_te, mp_te) for f in METRIC_FIELDS)
+    checks["val_metrics_max_rel_diff"] = m_diff
+    checks["val_metrics_ok"] = m_diff < 1e-4
+
+    # 3) checkpoints: params + config
+    for name in ("model_best.npz", "checkpoint.npz"):
+        cs_sp = _param_checksum(os.path.join(sp, name))
+        cs_mp = _param_checksum(os.path.join(mp, name))
+        checks[f"{name}_checksum_rel_diff"] = abs(cs_sp - cs_mp) / max(
+            1.0, abs(cs_sp))
+        checks[f"{name}_ok"] = _rel_close(cs_sp, cs_mp, 1e-4)
+    from fastdepth_tpu.checkpoint.io import load_checkpoint
+
+    _, cfg_sp, meta_sp = load_checkpoint(os.path.join(sp, "model_best.npz"))
+    _, cfg_mp, meta_mp = load_checkpoint(os.path.join(mp, "model_best.npz"))
+    checks["best_config_equal"] = cfg_sp == cfg_mp
+    checks["best_epoch_equal"] = meta_sp["epoch"] == meta_mp["epoch"]
+
+    # 4) cli.evaluate over the trained best checkpoint
+    ev_sp = _read_csv(os.path.join(sp, "eval.csv"))[-1]
+    ev_mp = _read_csv(os.path.join(mp, "eval.csv"))[-1]
+    e_diff = max(abs(float(ev_sp[f]) - float(ev_mp[f]))
+                 / max(1e-9, abs(float(ev_sp[f]))) for f in METRIC_FIELDS)
+    checks["eval_cli_max_rel_diff"] = e_diff
+    checks["eval_cli_ok"] = e_diff < 1e-4
+
+    ok = all(v for k, v in checks.items() if k.endswith("_ok")
+             or k.endswith("_rows") or k.endswith("_equal"))
     report = {
         "ok": bool(ok),
-        "ref": {k: ref[k] for k in ("losses", "param_checksum", "n_devices",
-                                    "n_processes")},
-        "multiprocess": {k: got[k] for k in ("losses", "param_checksum",
-                                             "n_devices", "n_processes")},
-        "metric_stack_max_abs_diff": float(
-            np.abs(m_ref[finite] - m_got[finite]).max()),
-        "metric_nan_positions_equal": bool(
-            np.array_equal(np.isnan(m_ref), np.isnan(m_got))),
+        "surface": "public CLI (cli.train + cli.evaluate, --coord/"
+                   "--num-processes/--process-id)",
+        "topology": {"single": "1 process x 8 CPU devices",
+                     "multi": "2 processes x 4 CPU devices, Gloo"},
+        "protocol": f"{EPOCHS} epochs, global batch {BATCH}, "
+                    f"{N_TRAIN} train / {N_VAL} val images, "
+                    "sharded BatchLoader -> checkpoint -> validate -> "
+                    "separate cli.evaluate pass",
+        "checks": checks,
     }
     print(json.dumps(report, indent=1))
+    if args.report:
+        with open(args.report, "w") as f:
+            json.dump(report, f, indent=1)
+            f.write("\n")
     return 0 if ok else 1
 
 
 if __name__ == "__main__":
-    p = argparse.ArgumentParser()
-    p.add_argument("--child", type=int, default=None)
-    p.add_argument("--coord", default="localhost:29876")
-    p.add_argument("--out", default="/tmp/fd_mp_p0.json")
-    a = p.parse_args()
-    sys.exit(child(a) or 0 if a.child is not None else parent())
+    sys.exit(main())

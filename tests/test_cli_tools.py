@@ -161,7 +161,8 @@ def _args(tmp_path, **over):
         lr_decay_step=5, lr_decay_gamma=0.2, workers=2, print_freq=1,
         seed=0, mesh_devices=None, remat=False, bf16=False, accum_steps=1,
         output_dir=str(tmp_path / "out"),
-        eval_batch_size=2, resume=None,
+        eval_batch_size=2, resume=None, arch_json=None, device_augment=False,
+        coord=None, num_processes=None, process_id=None,
     )
     for k, v in over.items():
         setattr(ns, k, v)

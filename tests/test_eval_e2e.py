@@ -204,8 +204,9 @@ def test_device_preprocess_matches_host_pipeline(nyu_val_root, torch_ckpt, tmp_p
     for f in ("rmse", "mae", "delta1", "absrel", "lg10", "mse"):
         np.testing.assert_allclose(getattr(a, f), getattr(b, f), rtol=1e-6,
                                    err_msg=f)
-    # train split must refuse raw_items (rotation is host-side by design)
-    with pytest.raises(ValueError, match="rotation"):
+    # train split must refuse raw_items (its on-device form is
+    # device_augment, which ships the augmentation parameters too)
+    with pytest.raises(ValueError, match="device_augment"):
         NYUDataset(nyu_val_root, split="train", raw_items=True)
 
 
