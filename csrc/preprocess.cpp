@@ -38,7 +38,7 @@ extern "C" {
 // ABI version handshake: the Python loader refuses a stale build whose
 // version doesn't match (the .so is NOT version-controlled; it is built
 // locally with `make -C csrc`).  Bump when any signature below changes.
-int64_t fd_abi_version() { return 3; }
+int64_t fd_abi_version() { return 4; }
 
 // rgb uint8 HWC -> gathered float32 HWC in [0, 1]
 // dst[oh, ow, c] = src[rows[oh], cols[ow], c] / 255
@@ -167,6 +167,21 @@ void fd_blend_gray_u8(const uint8_t* src, int64_t n, float factor,
         out[0] = pil_blend(g, static_cast<float>(px[0]), factor);
         out[1] = pil_blend(g, static_cast<float>(px[1]), factor);
         out[2] = pil_blend(g, static_cast<float>(px[2]), factor);
+    }
+}
+
+// Whole-op enhance value grid for the DEVICE jitter path:
+// out[d*256 + v] = pil_blend(d, v, factor) — one (256, 256) uint8 map
+// per jitter op (transforms.blend_grid's arithmetic; the device then
+// only row-selects by integer grays, data/device_aug.py).  Baked here
+// because the per-item numpy bake (~0.27 ms/grid on this host) was the
+// single largest cost of device-augment item assembly.
+void fd_blend_grid(float factor, uint8_t* out) {
+    for (int32_t d = 0; d < 256; ++d) {
+        const float df = static_cast<float>(d);
+        uint8_t* row = out + d * 256;
+        for (int32_t v = 0; v < 256; ++v)
+            row[v] = pil_blend(df, static_cast<float>(v), factor);
     }
 }
 

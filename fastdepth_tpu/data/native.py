@@ -37,7 +37,7 @@ def load_library() -> Optional[ctypes.CDLL]:
     # the numpy fallback — refuse it.
     try:
         lib.fd_abi_version.restype = ctypes.c_int64
-        if lib.fd_abi_version() != 3:
+        if lib.fd_abi_version() != 4:
             return None
     except AttributeError:
         return None
@@ -55,6 +55,7 @@ def load_library() -> Optional[ctypes.CDLL]:
     lib.fd_l_sum.restype = ctypes.c_int64
     lib.fd_blend_gray_u8.argtypes = [u8p, i64, f32, u8p]
     lib.fd_u8_to_unit_f32.argtypes = [u8p, i64, f32p]
+    lib.fd_blend_grid.argtypes = [f32, u8p]
     for fn in (lib.fd_gather_rgb_f32, lib.fd_gather_depth_f32,
                lib.fd_chw_to_hwc_u8, lib.fd_train_gather, lib.fd_lut_u8,
                lib.fd_blend_gray_u8, lib.fd_u8_to_unit_f32):
@@ -226,6 +227,21 @@ def u8_to_unit_f32(img: np.ndarray) -> np.ndarray:
     out = np.empty(img.shape, np.float32)
     lib.fd_u8_to_unit_f32(_ptr(img, ctypes.c_uint8), img.size,
                           _ptr(out, ctypes.c_float))
+    return out
+
+
+def blend_grid(factor: float) -> Optional[np.ndarray]:
+    """(256, 256) uint8 PIL-blend value grid ``grid[d, v] =
+    pil_blend(d, v, factor)`` — the device-jitter table bake
+    (transforms.blend_grid owns the numpy form and the docs; this is its
+    C kernel, ~5x faster, bit-identical: same stepwise f32 with
+    -ffp-contract=off).  None when the native lib is absent (the caller
+    falls back to the numpy bake)."""
+    lib = load_library()
+    if lib is None:
+        return None
+    out = np.empty((256, 256), np.uint8)
+    lib.fd_blend_grid(ctypes.c_float(factor), _ptr(out, ctypes.c_uint8))
     return out
 
 

@@ -184,10 +184,11 @@ class NYUDataset:
         flat32 = np.where(mask, -1, flat).ravel().astype(np.int32)
         kinds = np.zeros(3, np.int32)
         tables = np.empty((3, 256, 256), np.uint8)
-        tables[:] = T.identity_grid()
         for j, (kind, f) in enumerate(plan):
             kinds[j] = kind
             tables[j] = T.blend_grid(f)
+        for j in range(len(plan), 3):  # unused slots pass through
+            tables[j] = T.identity_grid()
         return (rgb, np.asarray(depth, np.float32), flat32,
                 np.float32(sample.scale), tables, kinds)
 

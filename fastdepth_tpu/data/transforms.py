@@ -566,7 +566,17 @@ def blend_grid(factor: float) -> np.ndarray:
     step correctly rounded with no fused multiply-add — unlike an XLA
     float chain, where FMA contraction was measured flipping the
     truncation on ~0.3%% of pixels — so table-lookup on device is exact
-    by construction on every backend."""
+    by construction on every backend.
+
+    Dispatches to the C kernel (csrc fd_blend_grid, ~5x faster — the
+    bake is per train item, so it is on the feeding path) when the
+    native lib is built; the numpy form below is the semantic reference
+    and the fallback, and tests/test_device_aug.py pins both to PIL."""
+    from fastdepth_tpu.data import native
+
+    g = native.blend_grid(factor)
+    if g is not None:
+        return g
     d = np.arange(256, dtype=np.float32)[:, None]
     v = np.arange(256, dtype=np.float32)[None, :]
     m = (np.float32(factor) * (v - d)).astype(np.float32)

@@ -119,6 +119,26 @@ def test_blend_grid_rows_match_pil_itself():
                                           err_msg=f"f={f} d={d}")
 
 
+def test_native_blend_grid_matches_numpy_bake():
+    """The C grid bake (csrc fd_blend_grid) == the numpy reference form,
+    every entry, across the NYU factor range — same stepwise f32
+    arithmetic (-ffp-contract=off), so equality is exact or the build is
+    wrong."""
+    from fastdepth_tpu.data import native
+
+    if not native.available():
+        pytest.skip("native lib not built")
+    lib = native._LIB
+    for f in (0.6, 0.73, 0.999, 1.0, 1.18, 1.4):
+        got = T.blend_grid(f)  # native path
+        native._LIB = None
+        try:
+            want = T.blend_grid(f)  # numpy reference
+        finally:
+            native._LIB = lib
+        np.testing.assert_array_equal(got, want, err_msg=f"factor={f}")
+
+
 def test_device_unit_lut_matches_host():
     """The device /255 table gather == the host LUT for all 256 values
     (XLA division-by-constant is a reciprocal multiply — measured 1-ulp
