@@ -46,7 +46,8 @@ def parse_args(argv=None):
                    help="with --train: run the whole augmentation chain on "
                         "device inside the train jit (host ships raw frames "
                         "+ per-item gather maps/jitter grids; bit-identical "
-                        "items — tests/test_device_aug.py)")
+                        "items — tests/test_device_aug.py; measured 34x "
+                        "SLOWER than host aug on this TPU, kernel_notes r5)")
     p.add_argument("--worker-mode", default="thread",
                    choices=["thread", "process"],
                    help="loader worker model: GIL-sharing threads (h5py/"

@@ -57,8 +57,11 @@ def parse_args(argv=None):
                         "gather, rotation pad, depth/=s, color jitter, /255) "
                         "ON DEVICE inside the jitted train step; the host "
                         "computes only per-item index vectors and jitter "
-                        "factors (microseconds) — bit-identical items to "
-                        "the host pipeline (tests/test_device_aug.py)")
+                        "factors — bit-identical items to the host pipeline "
+                        "(tests/test_device_aug.py). Measured a large net "
+                        "LOSS on this TPU (XLA per-index gather floor: 126 "
+                        "vs 4,264 train fps at b128 — docs/kernel_notes.md "
+                        "r5); use only on backends whose gathers ride DMA")
     p.add_argument("--accum-steps", type=int, default=1,
                    help="gradient accumulation: split each batch into this "
                         "many sequential microbatches (lax.scan) and apply "

@@ -51,6 +51,15 @@ sweep-verified against Pillow):
 The op order is data-dependent per item (ColorJitter shuffles), which
 cannot branch under jit — instead each item carries three uniform LUT
 slots (grid + row-kind) and unused slots hold the identity grid.
+
+Platform verdict (measured, round 5): on this TPU the augment costs
+~1.0 s per 128-batch — XLA per-element gathers floor at ~12 ns/index
+regardless of table size, and this pipeline issues ~84M indices/batch
+(docs/probe_r5_device_gathers.json, docs/bench_train_device_aug_r5.json,
+kernel_notes "r5: the XLA gather floor").  Host augmentation (csrc
+kernels, 2.65 ms/item/core) stays the default; this path is correct,
+exactness-tested, and the right shape for backends whose gathers ride
+DMA — it is not a win here.
 """
 
 from __future__ import annotations

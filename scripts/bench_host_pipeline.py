@@ -139,8 +139,10 @@ def main(args):
         "best_measured": best,
         # ARITHMETIC from the 1-core per-item measurement, not a
         # multi-core measurement (this sandbox exposes one core); the
-        # device-augment row is the designed fix — it shrinks the host
-        # bound instead of assuming worker scaling
+        # device-augment row shrinks the HOST bound, but the chip-side
+        # cost of absorbing the augmentation was measured prohibitive
+        # on this platform (docs/bench_train_device_aug_r5.json,
+        # kernel_notes r5) — host augmentation stays the default
         "cores_at_linear_scaling_host_chain": round(
             DEVICE_TRAIN_FPS / results["items_per_s_per_core"], 1),
         "cores_at_linear_scaling_device_augment": round(
