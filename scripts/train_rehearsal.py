@@ -12,10 +12,14 @@ that actually predict something: this script
      noise),
   2. trains the pruned flagship on it through the PUBLIC cli.train
      (bf16, the shipped recipe defaults),
-  3. runs cli.parity on the resulting model_best.npz with the trained
-     best row as the expected table (the published row needs the real
-     artifacts; the assert machinery is identical), including the
-     fp32->bf16 fidelity table,
+  3. measures the fp32 batch-1 row via cli.evaluate (the training-time
+     best row is a bf16 eval — parity evaluates fp32 b1, and the
+     bf16<->fp32 gap is far larger than parity's 1e-3 tolerance, so
+     asserting against the training row fails by design), then runs
+     cli.parity on the resulting model_best.npz with THAT row as the
+     expected table (the published row needs the real artifacts; the
+     assert machinery is identical), including the fp32->bf16 fidelity
+     table,
   4. writes docs/parity_rehearsal_r5.json + copies the weights to
      docs/rehearsal_model_r5.npz so future rounds (and the judge) can
      re-run step 3 in isolation:
@@ -55,7 +59,7 @@ def _depth_field(rng, h, w):
         amp = rng.uniform(-1.0, 1.0)
         f = f + amp * np.exp(-(((yy - cy) ** 2 + (xx - cx) ** 2)
                                / (2 * sig * sig)))
-    f = (f - f.min()) / max(f.ptp(), 1e-6)
+    f = (f - f.min()) / max(np.ptp(f), 1e-6)
     return (0.5 + 9.0 * f).astype(np.float32)
 
 
@@ -93,21 +97,27 @@ def make_structured_tree(root, split, n, seed):
     return root
 
 
-def run(cmd, log_path):
+def run(cmd, log_path, capture=False):
     env = dict(os.environ)
     env["PYTHONPATH"] = f"{REPO}:{env.get('PYTHONPATH', '')}"
     with open(log_path, "a") as log:
         log.write("$ " + " ".join(cmd) + "\n")
         log.flush()
-        p = subprocess.run(cmd, env=env, stdout=log, stderr=subprocess.STDOUT,
-                           cwd=REPO)
+        if capture:
+            p = subprocess.run(cmd, env=env, stdout=subprocess.PIPE,
+                               stderr=subprocess.STDOUT, cwd=REPO, text=True)
+            log.write(p.stdout)
+        else:
+            p = subprocess.run(cmd, env=env, stdout=log,
+                               stderr=subprocess.STDOUT, cwd=REPO)
     if p.returncode != 0:
         sys.exit(f"FAILED ({p.returncode}): {' '.join(cmd)} — see {log_path}")
+    return p.stdout if capture else None
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--epochs", type=int, default=16)
+    ap.add_argument("--epochs", type=int, default=24)
     ap.add_argument("--train-items", type=int, default=600)
     ap.add_argument("--val-items", type=int, default=64)
     ap.add_argument("--batch-size", type=int, default=32)
@@ -140,9 +150,23 @@ def main():
 
     _, _, meta = load_checkpoint(best)
     best_row = meta.get("best_result", {})
-    rmse_mm = float(best_row.get("rmse", float("nan")))
-    delta1 = float(best_row.get("delta1", float("nan")))
-    print(f"trained: best RMSE {rmse_mm:.1f} mm, delta1 {delta1:.3f}",
+    print(f"trained (bf16 eval): best RMSE "
+          f"{best_row.get('rmse', float('nan')):.1f} mm, "
+          f"delta1 {best_row.get('delta1', float('nan')):.3f}", flush=True)
+
+    # measure the fp32 b1 row parity will see (the training row above is
+    # a bf16 eval; the dtype gap >> parity's tolerance)
+    print("measuring the fp32 batch-1 row via cli.evaluate", flush=True)
+    out = run([sys.executable, "-u", "-m", "fastdepth_tpu.cli.evaluate",
+               "--evaluate", best, "--data-root", tree,
+               "--batch-size", "1", "--print-freq", "0",
+               "--csv", os.path.join(outdir, "fp32_b1.csv")],
+              log_path, capture=True)
+    row = {k: float(v) for k, v in
+           (ln.split("=") for ln in out.splitlines()
+            if "=" in ln and ln.split("=")[0] in ("RMSE", "Delta1"))}
+    rmse_mm, delta1 = row["RMSE"], row["Delta1"]
+    print(f"fp32 b1 row: RMSE {rmse_mm:.1f} mm, delta1 {delta1:.3f}",
           flush=True)
 
     print("running cli.parity on the trained weights", flush=True)
@@ -166,6 +190,7 @@ def main():
         "train_items": args.train_items,
         "trained_rmse_m": round(rmse_mm / 1000.0, 6),
         "trained_delta1": round(delta1, 6),
+        "train_time_best_row_bf16": best_row,
         "weights": args.weights_out,
         "log": "docs/parity_rehearsal_r5.log",
         "rerun": (f"python -m fastdepth_tpu.cli.parity --evaluate "
