@@ -91,19 +91,15 @@ def main(argv=None):
         init_distributed,
         is_primary,
         shard_kwargs,
+        validate_distributed_batches,
     )
 
     distributed = init_distributed(args)
-    if distributed and not args.mesh_devices:
-        raise SystemExit(
-            "multi-process mode needs --mesh-devices (the GLOBAL device "
-            "count across all processes)")
+    validate_distributed_batches(
+        distributed, args.mesh_devices,
+        **{"--batch-size": args.batch_size})
     primary = is_primary()
     log = print if primary else (lambda *a, **k: None)
-    if args.batch_size % jax.process_count():
-        raise SystemExit(
-            f"--batch-size {args.batch_size} must divide by the process "
-            f"count {jax.process_count()}")
     # mesh args are validated (SystemExit) before any device/data work:
     # a non-divisor would otherwise surface as a low-level sharding
     # error on batch 1.  The sharded height is what reaches device_put:

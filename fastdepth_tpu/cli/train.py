@@ -130,18 +130,12 @@ def main(argv=None):
     from fastdepth_tpu.train import Trainer
 
     # mesh args validated (SystemExit) before checkpoint/data work
-    if distributed and not args.mesh_devices:
-        raise SystemExit(
-            "multi-process mode needs --mesh-devices (the GLOBAL device "
-            "count across all processes): the mesh is what ties the "
-            "per-process batch shards into one SPMD step")
-    n_proc = jax.process_count()
-    if args.batch_size % n_proc or args.eval_batch_size % n_proc:
-        raise SystemExit(
-            f"--batch-size {args.batch_size} / --eval-batch-size "
-            f"{args.eval_batch_size} must divide by the process count "
-            f"{n_proc}: every process feeds an equal shard of each "
-            "global batch")
+    from fastdepth_tpu.parallel.distributed import validate_distributed_batches
+
+    validate_distributed_batches(
+        distributed, args.mesh_devices,
+        **{"--batch-size": args.batch_size,
+           "--eval-batch-size": args.eval_batch_size})
     mesh = mesh_from_cli(args.mesh_devices, None, batch_size=args.batch_size)
     if mesh is not None and args.eval_batch_size % args.mesh_devices:
         raise SystemExit(
@@ -174,6 +168,12 @@ def main(argv=None):
                 "--resume and --pretrained-encoder conflict: resume restores "
                 "the full checkpointed state, so the encoder load would be "
                 "discarded. Drop one of the two flags.")
+        if args.arch_json:
+            raise SystemExit(
+                "--resume and --arch-json conflict: resume rebuilds the "
+                "model from the checkpoint's own config, so the JSON "
+                "architecture would be silently ignored. Drop one of the "
+                "two flags.")
         log(f"=> resuming from '{args.resume}'")
         resume_tree, ckpt_cfg, resume_meta = load_train_checkpoint(args.resume)
         model = build(ckpt_cfg)

@@ -75,6 +75,7 @@ class InferenceServer:
         mesh=None,
         chain: bool = False,
         copy_inputs: bool = True,
+        close_timeout: float = 60.0,
     ):
         """``input_dtype=np.uint8`` accepts raw [0,255] frames and
         normalizes (/255) on device — 4x less socket/host-to-device
@@ -188,6 +189,10 @@ class InferenceServer:
         self.image_size = tuple(image_size)
         self._q: "queue.Queue" = queue.Queue(maxsize=max_queue)
         self._stop = threading.Event()
+        self._close_timeout = float(close_timeout)
+        # True while the drainer holds dispatched-but-unresolved work;
+        # single writer (drainer), read heuristically by close()
+        self._busy = False
         self._thread = threading.Thread(target=self._drain, daemon=True)
         self._thread.start()
 
@@ -300,6 +305,8 @@ class InferenceServer:
 
         while not self._stop.is_set():
             try:
+                if not pending:
+                    self._busy = False
                 first = self._q.get(timeout=0.02 if pending else 0.1)
             except queue.Empty:
                 while pending:
@@ -307,6 +314,7 @@ class InferenceServer:
                 continue
             if first is None:
                 break
+            self._busy = True
             items = [first]
             # pack whatever else is already waiting, up to the batch
             while len(items) < self.batch_size:
@@ -339,6 +347,7 @@ class InferenceServer:
                     resolve(pending.popleft())
         while pending:
             resolve(pending.popleft())
+        self._busy = False
 
     def close(self):
         self._stop.set()
@@ -350,12 +359,21 @@ class InferenceServer:
             self._q.put_nowait(None)
         except queue.Full:
             pass
-        # the drainer observes the stop flag within one get timeout after
-        # the non-blocking sentinel put, so this join terminates; a LONG
-        # timeout (not 5s) lets a drainer mid-fetch on a cold compile
-        # (minutes on this platform) finish serving queued requests
-        # instead of having them failed early by the drain below
-        self._thread.join(timeout=600)
+        # busy-aware join: while the drainer holds in-flight work (e.g. a
+        # cold-compile fetch) wait up to close_timeout so queued requests
+        # finish serving instead of being failed early; an IDLE drainer
+        # exits within one get timeout, so a couple of short joins
+        # suffice — and a drainer wedged on a dead transport (this
+        # platform has multi-hour outages) holds close() for at most
+        # close_timeout, not forever (pass close_timeout= to tune)
+        deadline = time.monotonic() + self._close_timeout
+        while True:
+            self._thread.join(timeout=5)
+            if not self._thread.is_alive():
+                break
+            if not self._busy or time.monotonic() >= deadline:
+                self._thread.join(timeout=5)
+                break
         # fail anything that raced in behind the sentinel — its future
         # would otherwise never resolve and hang a waiting client
         while True:

@@ -107,3 +107,30 @@ def shard_kwargs() -> dict:
     """BatchLoader kwargs for this process's shard of every global batch
     (identity in single-process mode)."""
     return {"num_shards": process_count(), "shard_id": process_index()}
+
+
+def validate_distributed_batches(distributed: bool, mesh_devices,
+                                 **batch_sizes) -> None:
+    """Shared CLI-arg validation for multi-process runs, raising
+    SystemExit BEFORE any checkpoint/data/device work (a non-divisor
+    would otherwise surface as a low-level sharding error on batch 1).
+    One source for both cli.train and cli.evaluate so the rules cannot
+    drift: multi-process mode requires an explicit global mesh, and
+    every batch size must divide by the process count (each process
+    feeds an equal shard of each global batch).
+
+    ``batch_sizes``: flag-name -> value pairs, e.g.
+    ``validate_distributed_batches(dist, args.mesh_devices,
+    **{"--batch-size": args.batch_size})``."""
+    if distributed and not mesh_devices:
+        raise SystemExit(
+            "multi-process mode needs --mesh-devices (the GLOBAL device "
+            "count across all processes): the mesh is what ties the "
+            "per-process batch shards into one SPMD step")
+    n_proc = process_count()
+    for flag, value in batch_sizes.items():
+        if value % n_proc:
+            raise SystemExit(
+                f"{flag} {value} must divide by the process count "
+                f"{n_proc}: every process feeds an equal shard of each "
+                "global batch")

@@ -349,9 +349,11 @@ class Trainer:
         # data-arg count: (rgb, depth) or the 6 device-augment arrays
         n_data = 6 if device_augment else 2
         if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            from fastdepth_tpu.parallel.mesh import SPACE_AXIS, shard_activations
+            from fastdepth_tpu.parallel.mesh import (
+                SPACE_AXIS,
+                replicate,
+                shard_activations,
+            )
 
             if SPACE_AXIS in mesh.axis_names:
                 # grad-of-dw-conv is WRONG under SPMD spatial partitioning
@@ -366,16 +368,16 @@ class Trainer:
                     "spatial partitioning (docs/probe_r3_sp_grad.json). "
                     "Use a 1-D 'data' mesh for training; 'space' is for "
                     "inference/eval (Evaluator, serving).")
-            repl = NamedSharding(mesh, P())
+            repl = replicate(mesh)
             data = shard_activations(mesh)
             if device_augment:
                 # batch-only spec: the device-augment extras include
                 # rank-1 (B,) arrays that the rank-2+ activation spec
                 # would over-rank; the train mesh is 1-D 'data' anyway
                 # (space is rejected above), so the placements coincide
-                from fastdepth_tpu.parallel.mesh import DATA_AXIS
+                from fastdepth_tpu.parallel.mesh import shard_batch
 
-                data = NamedSharding(mesh, P(DATA_AXIS))
+                data = shard_batch(mesh)
             state_sh = jax.tree.map(lambda _: repl, self.state,
                                     is_leaf=lambda x: isinstance(x, jax.Array))
             self._step = jax.jit(

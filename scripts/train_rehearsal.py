@@ -97,6 +97,34 @@ def make_structured_tree(root, split, n, seed):
     return root
 
 
+def compute_val16_row(weights_path):
+    """fp32 b8 Evaluator metrics over the first 16 regenerated val items
+    on the CPU backend — mirrors tests/test_rehearsal_weights.py exactly
+    (this process stays off the chip: the train/parity subprocesses own
+    the single-tenant TPU; the parent only ever initializes CPU)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from fastdepth_tpu.checkpoint.io import load_checkpoint, numpy_to_jax
+    from fastdepth_tpu.data import BatchLoader, NYUDataset
+    from fastdepth_tpu.engine import Evaluator, validate
+    from fastdepth_tpu.models import build
+
+    tree = tempfile.mkdtemp(prefix="fd_val16_")
+    make_structured_tree(tree, "val", 16, seed=1007)
+    params, config, _ = load_checkpoint(weights_path)
+    dataset = NYUDataset(os.path.join(tree, "nyudepthv2", "val"),
+                         split="val")
+    loader = BatchLoader(dataset, batch_size=8, num_workers=2,
+                         pad_last=True)
+    ev = Evaluator(build(config), numpy_to_jax(params), batch_size=8)
+    avg = validate(loader, ev, print_freq=0, make_images=False,
+                   log=lambda *a: None)
+    return {"rmse_mm": float(avg.rmse), "mae_mm": float(avg.mae),
+            "delta1": float(avg.delta1), "absrel": float(avg.absrel)}
+
+
 def run(cmd, log_path, capture=False):
     env = dict(os.environ)
     env["PYTHONPATH"] = f"{REPO}:{env.get('PYTHONPATH', '')}"
@@ -177,6 +205,16 @@ def main():
         log_path)
 
     shutil.copy2(best, os.path.join(REPO, args.weights_out))
+
+    # the val16 pin row tests/test_rehearsal_weights.py asserts against:
+    # fp32 b8 Evaluator over the FIRST 16 regenerated val items, on the
+    # CPU backend (same backend as the pin test).  Computed here so a
+    # re-run regenerates the whole report consistently — without this
+    # key the pin test dies on KeyError.
+    print("computing the val16 CPU pin row", flush=True)
+    val16 = compute_val16_row(os.path.join(REPO, args.weights_out))
+    print(json.dumps(val16), flush=True)
+
     report = {
         "what": ("parity dress rehearsal r5: the full cli.parity machinery "
                  "run end-to-end on weights trained THIS round through the "
@@ -198,6 +236,12 @@ def main():
                   f"scripts/train_rehearsal.py --keep-tree> "
                   f"--expected-rmse {rmse_mm / 1000.0:.6f} "
                   f"--expected-delta1 {delta1:.6f}"),
+        "val16_cpu_row": dict(
+            what=("fp32 b8 Evaluator row over the FIRST 16 regenerated "
+                  "val items (make_structured_tree seed=1007 is "
+                  "deterministic), computed on the CPU backend — the pin "
+                  "tests/test_rehearsal_weights.py asserts against"),
+            **val16),
     }
     with open(os.path.join(REPO, args.out), "w") as f:
         json.dump(report, f, indent=1)
