@@ -10,8 +10,9 @@ so the link is loopback and whatever rate emerges is the socket stack's
 own, not the network's.
 
 MEASURED FINDING (docs/soak_server_local_r5.json): on this sandbox the
-loopback daemon lands at 47.8 fps — statistically identical to the
-TUNNEL soak's 47.7 fps (docs/soak_r4.json) — because a socket-fed frame
+loopback daemon lands in the TUNNEL soak's own link-bound regime
+(47.8 and 68.3 fps across two runs vs soak_r4's 47.7 — the 5-15 MB/s
+link drifts hour-to-hour) because a socket-fed frame
 must still cross the 5-15 MB/s device tunnel H2D before the chip can
 run it (soak_r2's 19.6k fps staged its input ON device).  The socket
 hop itself therefore adds nothing measurable; to isolate the socket

@@ -939,3 +939,40 @@ def test_socket_stop_unblocks_live_connections(rng, tmp_path):
         conn.settimeout(10)
         assert conn.recv(1) == b""
         conn.close()
+
+
+def test_close_is_fast_when_drainer_idle():
+    """close() must not wait out its close_timeout when the drainer
+    holds no in-flight work — an idle drainer exits within one get
+    timeout, and a wedged-transport scenario (CLAUDE.md: multi-hour
+    outages) is bounded by close_timeout, not 10 minutes."""
+    import time as _time
+
+    model, params = _model_and_params()
+    srv = InferenceServer(model, params, batch_size=2, image_size=(HW, HW),
+                          close_timeout=600.0)
+    srv(np.zeros((HW, HW, 3), np.float32))  # compile + prove it serves
+    t0 = _time.perf_counter()
+    srv.close()
+    assert _time.perf_counter() - t0 < 15.0
+    assert not srv._thread.is_alive()
+
+
+def test_close_resolves_every_queued_future():
+    """The close() contract: work the drainer already claimed finishes
+    serving (busy-aware join, the r4 advisor fix); anything still in
+    the queue is failed loudly ("server is closed") — and NOTHING is
+    left unresolved to hang a waiting client."""
+    model, params = _model_and_params()
+    srv = InferenceServer(model, params, batch_size=2, image_size=(HW, HW),
+                          close_timeout=120.0)
+    srv(np.zeros((HW, HW, 3), np.float32))  # warm the graph
+    futs = [srv.submit(np.zeros((HW, HW, 3), np.float32))
+            for _ in range(6)]
+    srv.close()
+    assert all(f.done() for f in futs)
+    served = sum(1 for f in futs if f.exception() is None)
+    assert served >= 1  # in-flight work completed, not failed early
+    for f in futs:
+        if f.exception() is not None:
+            assert "closed" in str(f.exception())
