@@ -46,8 +46,10 @@ def parse_args(argv=None):
                    help="with --train: run the whole augmentation chain on "
                         "device inside the train jit (host ships raw frames "
                         "+ per-item gather maps/jitter grids; bit-identical "
-                        "items — tests/test_device_aug.py; measured 34x "
-                        "SLOWER than host aug on this TPU, kernel_notes r5)")
+                        "items — tests/test_device_aug.py; the spatial "
+                        "gathers keep it well below plain train fps on this "
+                        "TPU — host aug stays the default unless the host "
+                        "has ~1 core; kernel_notes r5)")
     p.add_argument("--worker-mode", default="thread",
                    choices=["thread", "process"],
                    help="loader worker model: GIL-sharing threads (h5py/"

@@ -52,14 +52,33 @@ The op order is data-dependent per item (ColorJitter shuffles), which
 cannot branch under jit — instead each item carries three uniform LUT
 slots (grid + row-kind) and unused slots hold the identity grid.
 
-Platform verdict (measured, round 5): on this TPU the augment costs
-~1.0 s per 128-batch — XLA per-element gathers floor at ~12 ns/index
-regardless of table size, and this pipeline issues ~84M indices/batch
-(docs/probe_r5_device_gathers.json, docs/bench_train_device_aug_r5.json,
-kernel_notes "r5: the XLA gather floor").  Host augmentation (csrc
-kernels, 2.65 ms/item/core) stays the default; this path is correct,
-exactness-tested, and the right shape for backends whose gathers ride
-DMA — it is not a win here.
+Platform verdict (measured, round 5): XLA per-element gathers floor at
+~12 ns/index regardless of table size on this TPU
+(docs/probe_r5_device_gathers.json), and the first-cut all-gather
+augment paid ~1.0 s per 128-batch (126 vs 4,264 train fps).  The LUT
+CLASS of that cost (~86%: three jitter slots + the /255) does not need
+the gather unit at all — ``lut_impl="dot"`` (the default) reformulates
+every value lookup as arithmetic the MXU/VPU execute:
+
+* jitter slot: two chained one-hot contractions
+  (``onehot(row) @ grid`` row-select, then ``rows · onehot(value)``
+  value-select).  Exact by construction: u8 grid values (<= 255) are
+  exactly representable in bf16, one-hot factors are 0/1, and each
+  reduction has exactly ONE nonzero term — the result is the looked-up
+  integer, bit-for-bit, in any accumulation order,
+* /255: an unrolled 256-way select-sum ``sum_k lut[k] * (v == k)``
+  over f32 scalar constants — again one nonzero term, and ``x + 0.0``
+  is exact for the non-negative table,
+
+measured 7-12x faster than their gather forms
+(docs/probe_r5_lut_alternatives.json).  The composed SPATIAL gather
+(rotation breaks row separability, so it stays per-pixel) remains on
+the gather floor — a 16-px slice-packed reformulation measured 2x
+WORSE (same probe).  ``lut_impl="gather"`` keeps the plain-gather
+forms for A/B measurement; both are bit-identical to the host
+(tests/test_device_aug.py runs the full equality suite on each).
+Net on-chip verdict lives in docs/bench_train_device_aug_r5.json and
+kernel_notes "r5: the XLA gather floor".
 """
 
 from __future__ import annotations
@@ -86,13 +105,19 @@ def _pil_l(img_u8: Array) -> Array:
             + 0x8000) >> 16
 
 
-def _jitter_slot(img_u8: Array, table: Array, kind: Array) -> Array:
+def _jitter_slot(img_u8: Array, table: Array, kind: Array,
+                 lut_impl: str = "dot") -> Array:
     """One enhance slot over a (B, N, 3) uint8 batch: pure integer
-    row-select + table gather.  ``table`` (B, 256, 256) u8 is the op's
+    row-select + value lookup.  ``table`` (B, 256, 256) u8 is the op's
     host-baked PIL-blend grid (transforms.blend_grid / identity_grid);
     ``kind`` (B,) i32 picks the ROW source — the op's degenerate gray:
     per-pixel L (saturation), image mean-L (contrast), or row 0
-    (brightness / identity)."""
+    (brightness / identity).
+
+    ``lut_impl="dot"`` executes the 2-D lookup as two chained one-hot
+    contractions on the MXU (bit-exact: module docstring); ``"gather"``
+    is the plain per-element table gather, 7x slower on this platform
+    (docs/probe_r5_lut_alternatives.json)."""
     l_plane = _pil_l(img_u8)                      # (B, N) i32
     n = l_plane.shape[-1]
     # ImageEnhance.Contrast: int(mean(L) + 0.5) in exact integer math
@@ -103,21 +128,58 @@ def _jitter_slot(img_u8: Array, table: Array, kind: Array) -> Array:
     row = jnp.where(
         k == KIND_SATURATION, l_plane,
         jnp.where(k == KIND_CONTRAST, gray[:, None], 0))   # (B, N)
-    idx = row[..., None] * 256 + img_u8.astype(jnp.int32)  # (B, N, 3)
-    b = img_u8.shape[0]
-    flat = jnp.take_along_axis(
-        table.reshape(b, 256 * 256), idx.reshape(b, -1), axis=1)
-    return flat.reshape(img_u8.shape)
+    if lut_impl == "gather":
+        idx = row[..., None] * 256 + img_u8.astype(jnp.int32)  # (B, N, 3)
+        b = img_u8.shape[0]
+        flat = jnp.take_along_axis(
+            table.reshape(b, 256 * 256), idx.reshape(b, -1), axis=1)
+        return flat.reshape(img_u8.shape)
+    if lut_impl != "dot":
+        raise ValueError(f"lut_impl must be 'dot' or 'gather': {lut_impl!r}")
+    iota = jnp.arange(256, dtype=jnp.int32)
+    # row-select: one-hot(row) @ grid — exactly one nonzero term per
+    # reduction, u8 grid values exact in bf16 -> rows[b,n,v] ==
+    # table[b, row[b,n], v] bit-for-bit
+    ohr = (row[..., None] == iota).astype(jnp.bfloat16)        # (B, N, 256)
+    rows = jnp.einsum("bnk,bkv->bnv", ohr, table.astype(jnp.bfloat16))
+    # value-select: rows · one-hot(pixel value), same exactness argument
+    ohv = (img_u8.astype(jnp.int32)[..., None] == iota
+           ).astype(jnp.bfloat16)                              # (B, N, 3, 256)
+    out = jnp.einsum("bnv,bncv->bnc", rows, ohv)               # (B, N, 3)
+    return out.astype(jnp.uint8)
 
 
-def _unit_lut() -> Array:
+def _unit_lut_np():
     """The host's u8 -> [0,1] f32 table (float(i)/255.0f, every entry the
-    correctly-rounded f32 quotient) as a device constant."""
+    correctly-rounded f32 quotient) as a numpy array."""
     import numpy as np
 
     from fastdepth_tpu.data import native
 
-    return jnp.asarray(native.u8_to_unit_f32(np.arange(256, dtype=np.uint8)))
+    return native.u8_to_unit_f32(np.arange(256, dtype=np.uint8))
+
+
+def _unit_lut() -> Array:
+    """:func:`_unit_lut_np` as a device constant."""
+    return jnp.asarray(_unit_lut_np())
+
+
+def _u8_to_unit(img_u8: Array, lut_impl: str = "dot") -> Array:
+    """u8 -> [0,1] f32 through the host's correctly-rounded quotient
+    table.  ``"dot"``: unrolled 256-way select-sum over f32 scalar
+    constants (no gather unit; exactly one nonzero term per element, so
+    bit-equal to the lookup); ``"gather"``: plain 256-entry table
+    gather, 9x slower here (docs/probe_r5_lut_alternatives.json)."""
+    if lut_impl == "gather":
+        return jnp.take(_unit_lut(), img_u8.astype(jnp.int32))
+    if lut_impl != "dot":
+        raise ValueError(f"lut_impl must be 'dot' or 'gather': {lut_impl!r}")
+    lut = _unit_lut_np()
+    vi = img_u8.astype(jnp.int32)
+    acc = jnp.zeros(img_u8.shape, jnp.float32)
+    for k in range(1, 256):  # lut[0] == 0.0 — the init already covers it
+        acc = acc + float(lut[k]) * (vi == k).astype(jnp.float32)
+    return acc
 
 
 def apply_train_augment(
@@ -128,6 +190,7 @@ def apply_train_augment(
     tables: Array,
     kinds: Array,
     out_size: Tuple[int, int] = (224, 224),
+    lut_impl: str = "dot",
 ) -> Tuple[Array, Array]:
     """The whole train-item pixel pipeline on device.
 
@@ -140,6 +203,13 @@ def apply_train_augment(
       tables    (B, S, 256, 256) u8 jitter slot value grids
                                  (transforms.blend_grid / identity_grid),
       kinds     (B, S)           i32 jitter slot row kinds (KIND_*).
+
+    ``lut_impl`` picks the value-lookup execution strategy for the
+    jitter slots and the /255 — "dot" (gather-free one-hot
+    contractions / select-sums, the platform default) or "gather"
+    (plain table gathers); both are bit-identical (module docstring,
+    tests/test_device_aug.py parametrizes every equality test over
+    both).
 
     Returns (rgb (B, oh, ow, 3) f32 in [0,1], depth (B, oh, ow, 1) f32),
     bit-identical to TrainPipeline.__call__ + ColorJitter on the host
@@ -155,6 +225,7 @@ def apply_train_augment(
     depth_g = jnp.take_along_axis(depth_raw.reshape(b, -1), idx, axis=1)
     depth_g = jnp.where(mask, 0.0, depth_g / scale[:, None])
     for s in range(kinds.shape[1]):
-        rgb_g = _jitter_slot(rgb_g, tables[:, s], kinds[:, s])
-    rgb01 = jnp.take(_unit_lut(), rgb_g.astype(jnp.int32))
+        rgb_g = _jitter_slot(rgb_g, tables[:, s], kinds[:, s],
+                             lut_impl=lut_impl)
+    rgb01 = _u8_to_unit(rgb_g, lut_impl=lut_impl)
     return rgb01.reshape(b, oh, ow, 3), depth_g.reshape(b, oh, ow, 1)

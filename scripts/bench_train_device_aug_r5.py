@@ -4,23 +4,31 @@ Times the DEVICE-RESIDENT step rate of the full train step in both
 feeding modes on the real chip, same protocol as bench.py's train row
 (staged batch, FIFO-enqueued calls, scalar-fetch sync):
 
-  * plain      — step(state, rgb224, depth224, lr): host did the
-                 augmentation (the r4 4,303 train-fps configuration),
-  * device-aug — aug_step(state, raw480x640 frames, gather maps, jitter
-                 grids, lr): the WHOLE pixel pipeline (gather, rotation
-                 pad, depth/=s, PIL-exact jitter, /255) runs inside the
-                 same jit before fwd+bwd+SGD (data/device_aug.py).
+  * plain          — step(state, rgb224, depth224, lr): host did the
+                     augmentation (the r4 4,303 train-fps configuration),
+  * device-aug dot — aug_step(state, raw480x640 frames, gather maps,
+                     jitter grids, lr): the WHOLE pixel pipeline
+                     (gather, rotation pad, depth/=s, PIL-exact jitter,
+                     /255) runs inside the same jit before fwd+bwd+SGD,
+                     with the LUT stages as gather-free one-hot
+                     contractions / select-sums (data/device_aug.py,
+                     lut_impl="dot" — the default),
+  * device-aug gather — same step with every lookup as a plain
+                     per-element table gather (lut_impl="gather", the
+                     r5 first cut).
 
-The delta between the two rows is what the chip pays to absorb the
-augmentation; the host-side saving it buys is measured separately in
-docs/bench_host_train_r5.json (per-item 3.97 -> 3.35 ms, pixel work
-0.88 -> 0.07 ms).  MEASURED RESULT: the chip pays ~1.0 s/batch — 126
-vs 4,264 fps, a 97% step cost — because per-element gathers floor at
-~12 ns/index on this platform (decomposed stage-by-stage in
-scripts/probe_r5_device_gathers.py -> docs/probe_r5_device_gathers.json;
-analysis in docs/kernel_notes.md "r5: the XLA gather floor").  Host
-augmentation therefore stays the default; --device-augment is for
-backends whose gathers ride DMA.
+The delta between plain and the aug rows is what the chip pays to
+absorb the augmentation; the host-side saving it buys is measured
+separately in docs/bench_host_train_r5.json (per-item 3.97 -> 3.35 ms,
+pixel work 0.88 -> 0.07 ms).  MEASURED RESULT (r5 first cut): the
+all-gather form pays ~1.0 s/batch — 126 vs 4,264 fps, a 97% step cost —
+because per-element gathers floor at ~12 ns/index on this platform
+(decomposed stage-by-stage in scripts/probe_r5_device_gathers.py ->
+docs/probe_r5_device_gathers.json).  The LUT class of that cost (~86%)
+is gather-free under lut_impl="dot"
+(docs/probe_r5_lut_alternatives.json); this script measures how much of
+the step cost that recovers.  Analysis: docs/kernel_notes.md "r5: the
+XLA gather floor".
 
 Honest note: batches here are STAGED (one h2d, repeated steps) — this
 isolates the chip rate from the sandbox's 5-15 MB/s tunnel, exactly like
@@ -88,10 +96,9 @@ time_steps(t_plain, (rgb, dep), "plain_train_fps")
 del t_plain, rgb, dep
 
 # device-aug: raw frames + per-item parameters staged on device; the
-# jitter plan is the NYU one (3 enhance slots, real blend grids)
-t_aug = Trainer(model, model.init(jax.random.PRNGKey(0)),
-                TrainConfig(lr=0.01), compute_dtype=jnp.bfloat16,
-                device_augment=True)
+# jitter plan is the NYU one (3 enhance slots, real blend grids).
+# lut_impl="dot" is the Trainer default; the "gather" row jits the same
+# wrap the Trainer builds (trainer.py aug_step) around the legacy forms.
 n_out = 224 * 224
 tables = np.stack([np.stack([T.blend_grid(f) for f in
                              rng.uniform(0.6, 1.4, 3)]) for _ in range(b)])
@@ -104,12 +111,41 @@ raw_args = (
     jnp.asarray(tables),
     jnp.asarray(np.tile(np.array([1, 2, 3], np.int32), (b, 1))),
 )
-time_steps(t_aug, raw_args, "device_augment_train_fps")
+t_aug = Trainer(model, model.init(jax.random.PRNGKey(0)),
+                TrainConfig(lr=0.01), compute_dtype=jnp.bfloat16,
+                device_augment=True)
+time_steps(t_aug, raw_args, "device_augment_dot_train_fps")
+del t_aug
 
-results["aug_cost_pct"] = round(
-    100.0 * (1 - results["rows"]["device_augment_train_fps"]
-             / results["rows"]["plain_train_fps"]), 2)
-print(json.dumps({"aug_cost_pct": results["aug_cost_pct"]}), flush=True)
+from fastdepth_tpu.data.device_aug import apply_train_augment  # noqa: E402
+from fastdepth_tpu.train.trainer import make_train_step  # noqa: E402
+
+
+class _GatherTrainer:
+    def __init__(self):
+        t = Trainer(model, model.init(jax.random.PRNGKey(0)),
+                    TrainConfig(lr=0.01), compute_dtype=jnp.bfloat16)
+        base = make_train_step(model, t.cfg, compute_dtype=jnp.bfloat16)
+
+        def aug_step(state, rgb_raw, depth_raw, flat, scale, tables, kinds,
+                     lr):
+            rgb, depth = apply_train_augment(
+                rgb_raw, depth_raw, flat, scale, tables, kinds,
+                lut_impl="gather")
+            return base(state, rgb, depth, lr)
+
+        self.state = t.state
+        self._step = jax.jit(aug_step, donate_argnums=(0,))
+
+
+time_steps(_GatherTrainer(), raw_args, "device_augment_gather_train_fps")
+
+for tag in ("dot", "gather"):
+    results[f"aug_cost_pct_{tag}"] = round(
+        100.0 * (1 - results["rows"][f"device_augment_{tag}_train_fps"]
+                 / results["rows"]["plain_train_fps"]), 2)
+print(json.dumps({k: v for k, v in results.items() if "pct" in k}),
+      flush=True)
 with open(args.out, "w") as f:
     json.dump(results, f, indent=1)
     f.write("\n")

@@ -42,14 +42,43 @@ def test_gather_floor_probe_consistent():
 
 
 def test_device_aug_bench_consistent():
-    """docs/bench_train_device_aug_r5.json: the headline aug_cost_pct is
-    derived from its own rows, and the measured verdict (device aug is
-    a large net loss here) is what the docs claim."""
+    """docs/bench_train_device_aug_r5.json: the per-variant aug_cost_pct
+    values derive from their own rows, the gather-free 'dot' LUT forms
+    beat the all-gather forms by the documented ~4x, and the measured
+    verdict (device aug still well below plain train fps — host aug
+    stays the default above ~2 host cores) is what the docs claim."""
     d = _load("bench_train_device_aug_r5.json")
     plain = d["rows"]["plain_train_fps"]
-    aug = d["rows"]["device_augment_train_fps"]
-    assert abs(d["aug_cost_pct"] - 100.0 * (1 - aug / plain)) < 0.05
-    assert aug < plain / 10  # the documented "large net loss"
+    dot = d["rows"]["device_augment_dot_train_fps"]
+    gather = d["rows"]["device_augment_gather_train_fps"]
+    for tag, aug in (("dot", dot), ("gather", gather)):
+        assert abs(d[f"aug_cost_pct_{tag}"]
+                   - 100.0 * (1 - aug / plain)) < 0.05
+    assert dot > 3 * gather      # the LUT-class recovery is real
+    assert dot < plain / 4       # but the spatial gathers still bind
+
+
+def test_lut_alternatives_probe_consistent():
+    """docs/probe_r5_lut_alternatives.json: the measured gather-free
+    formulations must keep the relationships the docs and the
+    device_aug lut_impl default are argued from — select-sum / one-hot
+    dots beat jnp.take by >5x on the 256-entry class, the 2-D
+    grid two-dot beats the measured (256,256) gather-slot cost, and
+    the slice-packed spatial mechanism LOSES (why spatial stays a
+    plain gather)."""
+    d = _load("probe_r5_lut_alternatives.json")
+    r = d["rows"]
+    assert not d["errors"]
+    assert 5 * r["select_sum"] < r["take_256"]
+    assert 5 * r["onehot_dot"] < r["take_256"]
+    # 2-D (256,256) per-image lookup: the probe ran at b=32; the gather
+    # form of the same slot measured 218 ms at b=128 in
+    # probe_r5_device_gathers.json — compare at equal batch via x4
+    g = _load("probe_r5_device_gathers.json")
+    assert 4 * r["sat_two_dots"] < 0.6 * g["rows"]["jitter_slot_2d"]
+    # block-packed spatial gather is a measured regression vs the
+    # per-pixel spatial gather (4x: equal-batch scaling as above)
+    assert r["block_gather_16"] * 4 > g["rows"]["rgb_u8_gather"]
 
 
 def test_depth_frontier_consistent():

@@ -49,14 +49,18 @@ def _stack_items(ds, idxs):
     return [np.stack([it[j] for it in items]) for j in range(len(items[0]))]
 
 
-def test_device_augment_items_match_host_pipeline(train_root):
+@pytest.mark.parametrize("lut_impl", ["dot", "gather"])
+def test_device_augment_items_match_host_pipeline(train_root, lut_impl):
     """Full-item equality over every (epoch, index): the jitted device
     pipeline reproduces the host train item to the bit (f32 rgb in
     [0,1] AND f32 depth), including the jitter's per-item random order
-    and factors."""
+    and factors — under BOTH lookup strategies (the gather-free one-hot
+    'dot' default and the plain 'gather' forms)."""
+    import functools
+
     host = NYUDataset(train_root, split="train", seed=11)
     dev = NYUDataset(train_root, split="train", seed=11, device_augment=True)
-    fn = jax.jit(apply_train_augment)
+    fn = jax.jit(functools.partial(apply_train_augment, lut_impl=lut_impl))
     for epoch in (0, 1, 5):
         host.set_epoch(epoch)
         dev.set_epoch(epoch)
@@ -73,12 +77,15 @@ def test_device_augment_items_match_host_pipeline(train_root):
                 err_msg=f"depth epoch={epoch} idx={i}")
 
 
-def test_device_jitter_slots_match_host_enhance(rng):
+@pytest.mark.parametrize("lut_impl", ["dot", "gather"])
+def test_device_jitter_slots_match_host_enhance(rng, lut_impl):
     """The LUT slot (host-baked blend grid + device integer row select)
     vs the host's PIL-exact enhance kernels on random uint8 images, per
     op kind across factor ranges (incl. the degenerate-gray contrast
     path whose scalar is computed on device in exact integer
-    arithmetic)."""
+    arithmetic) — under both lookup strategies."""
+    import functools
+
     img = (rng.rand(1, 224 * 224, 3) * 255).astype(np.uint8)
     flatimg = img[0].reshape(224, 224, 3)
     cases = [
@@ -86,7 +93,7 @@ def test_device_jitter_slots_match_host_enhance(rng):
         (KIND_CONTRAST, T.adjust_contrast_fast),
         (KIND_SATURATION, T.adjust_saturation_fast),
     ]
-    fn = jax.jit(_jitter_slot)
+    fn = jax.jit(functools.partial(_jitter_slot, lut_impl=lut_impl))
     for kind, host_fn in cases:
         for f in (0.6, 0.73, 1.0, 1.21, 1.4):
             got = np.asarray(fn(jnp.asarray(img),
@@ -139,17 +146,33 @@ def test_native_blend_grid_matches_numpy_bake():
         np.testing.assert_array_equal(got, want, err_msg=f"factor={f}")
 
 
-def test_device_unit_lut_matches_host():
-    """The device /255 table gather == the host LUT for all 256 values
-    (XLA division-by-constant is a reciprocal multiply — measured 1-ulp
-    off on 126/256 values — hence the lookup)."""
+@pytest.mark.parametrize("lut_impl", ["dot", "gather"])
+def test_device_unit_lut_matches_host(lut_impl):
+    """The device /255 == the host LUT for all 256 values, under both
+    the select-sum and gather forms (XLA division-by-constant is a
+    reciprocal multiply — measured 1-ulp off on 126/256 values — hence
+    the lookup semantics)."""
+    import functools
+
     from fastdepth_tpu.data import native
-    from fastdepth_tpu.data.device_aug import _unit_lut
+    from fastdepth_tpu.data.device_aug import _u8_to_unit
 
     v = np.arange(256, dtype=np.uint8)
     dev = np.asarray(jax.jit(
-        lambda x: jnp.take(_unit_lut(), x.astype(jnp.int32)))(jnp.asarray(v)))
+        functools.partial(_u8_to_unit, lut_impl=lut_impl))(jnp.asarray(v)))
     np.testing.assert_array_equal(dev, native.u8_to_unit_f32(v))
+
+
+def test_device_aug_lut_impl_guard():
+    """Unknown lut_impl values must refuse loudly at trace time."""
+    from fastdepth_tpu.data.device_aug import _u8_to_unit
+
+    with pytest.raises(ValueError, match="lut_impl"):
+        _u8_to_unit(jnp.zeros((4,), jnp.uint8), lut_impl="mxu")
+    with pytest.raises(ValueError, match="lut_impl"):
+        _jitter_slot(jnp.zeros((1, 8, 3), jnp.uint8),
+                     jnp.zeros((1, 256, 256), jnp.uint8),
+                     jnp.zeros((1,), jnp.int32), lut_impl="take")
 
 
 def test_contrast_gray_integer_formula_matches_f64():
