@@ -285,6 +285,42 @@ def test_streaming_benchmark_cli_train_mode(tmp_path, rng, capsys):
     assert _json.loads(out)["metric"].startswith("end-to-end streaming TRAIN")
 
 
+def test_streaming_benchmark_cli_train_device_augment(tmp_path, rng, capsys):
+    """--train --device-augment drives the public surface end to end:
+    loader ships raw frames + gather maps + jitter grids, the Trainer
+    runs the gather-free LUT augment inside the jitted step (the
+    lut_impl='dot' default), and the CLI reports finite loss/fps."""
+    import json as _json
+
+    import torch
+
+    from fastdepth_tpu.cli import benchmark as bench_cli
+
+    gen = torch.Generator().manual_seed(3)
+    tm = TorchFastDepth(TINY_ENC, TINY_DEC, skip="add").eval()
+    randomize_bn_stats(tm, gen)
+    ckpt = str(tmp_path / "m.pth.tar")
+    torch.save({"epoch": 0, "best_result": None, "model": tm}, ckpt)
+
+    root = tmp_path / "nyudepthv2" / "train"
+    _make_nyu_tree(str(root), rng, n=5)
+
+    result = bench_cli.main([
+        "--evaluate", ckpt,
+        "--data-root", str(tmp_path),
+        "--batch-size", "2",
+        "--train",
+        "--device-augment",
+        "--json",
+    ])
+    assert result["device_augment"] is True
+    assert result["frames"] == 4  # drop_last: 5 items -> 2 full batches
+    assert result["fps"] > 0
+    assert np.isfinite(result["final_loss"])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert _json.loads(out)["metric"].startswith("end-to-end streaming TRAIN")
+
+
 def test_benchmark_synthetic_train_tree_skips_holdout_stems(tmp_path):
     """make_synthetic_tree('train') must yield exactly n TRAIN-split
     items (stems 00001/00201 are holdout-filtered by the dataset)."""
