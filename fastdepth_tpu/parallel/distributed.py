@@ -81,7 +81,28 @@ def init_distributed(args) -> bool:
 
     jax.distributed.initialize(
         coordinator_address=coord, num_processes=n, process_id=pid)
+    _warmup_collective()
     return True
+
+
+def _warmup_collective() -> None:
+    """Establish the cross-process collective context NOW, while every
+    rank is still within milliseconds of the coordinator barrier it just
+    cleared.  The full-mesh connect inside the FIRST collective has a
+    hard ~30 s key-exchange window (Gloo on CPU; jax exposes no knob —
+    ``make_gloo_tcp_collectives`` takes none); if that first collective
+    instead runs after minutes of compilation, a rank whose compile was
+    faster (cache hit, scheduler luck on a loaded host) times out
+    waiting for the slow one's keys.  One trivial allgather here pins
+    context creation to this synchronized point; the runtime caches the
+    clique, so the real collectives later reuse the connected context.
+    Measured failure mode: tests/test_multiprocess.py under a loaded
+    single-core host — 'Gloo context initialization failed:
+    DEADLINE_EXCEEDED: GetKeyValue() timed out ... 29.99s'."""
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    multihost_utils.process_allgather(np.zeros((), np.float32))
 
 
 def process_index() -> int:
